@@ -1,0 +1,233 @@
+"""Deterministic synthetic WAL/binlog generator for transcript CDC.
+
+Emits Parquet WAL segments named by starting delivery offset
+(``wal/seg-{start:012d}.parquet``), each row one I/U/D change event over
+a multi-turn conversation transcript table (FIXTURES.md F2). All
+randomness comes from one seeded ``numpy.random.Generator`` so the same
+spec always produces byte-identical segments — no external data.
+
+Scenario knobs (FIXTURES.md F2 fixture matrix):
+  * ``dup_rate``       — events re-delivered later with the same op_seq
+  * ``shuffle_window`` — bounded out-of-order delivery
+  * ``schema_change_frac`` — delivery fraction after which segments gain
+    the ``tool`` column and a ``tool`` role value (segments before the
+    change point physically lack the column)
+  * ``zipf_s``         — hot-key skew of conversation activity
+
+This file is driver-side tooling, not an engine operator (the reference
+keeps its data downloaders outside the engine too:
+``tools/data_download/download_stuttgart_opendata.py:19-130``).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import EVENT_SCHEMA, EVENT_SCHEMA_V0
+
+_EPOCH_US = 1_700_000_000_000_000  # fixed base timestamp (us)
+
+_VOCAB = None
+
+
+def _vocab() -> np.ndarray:
+    global _VOCAB
+    if _VOCAB is None:
+        rng = np.random.default_rng(1234)
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        words = []
+        for _ in range(2048):
+            n = rng.integers(3, 9)
+            words.append("".join(rng.choice(letters, size=n)))
+        _VOCAB = np.array(words)
+    return _VOCAB
+
+
+@dataclass(frozen=True)
+class WalSpec:
+    n_convs: int = 200
+    mean_turns: float = 12.0
+    update_frac: float = 0.35      # updates as fraction of inserts
+    delete_frac: float = 0.03      # deletes as fraction of inserts
+    words_per_text: int = 16
+    seg_size: int = 2_000
+    seed: int = 42
+    dup_rate: float = 0.0
+    shuffle_window: int = 0
+    schema_change_frac: float = 1.1  # >1 → no schema change
+    zipf_s: float = 0.0              # 0 → uniform conv activity
+    roles: tuple = ("system", "user", "assistant")
+
+    def key(self) -> str:
+        """Stable cache key for on-disk reuse."""
+        return (
+            f"c{self.n_convs}_t{self.mean_turns}_u{self.update_frac}_d{self.delete_frac}"
+            f"_w{self.words_per_text}_g{self.seg_size}_s{self.seed}_p{self.dup_rate}"
+            f"_o{self.shuffle_window}_sc{self.schema_change_frac}_z{self.zipf_s}"
+        )
+
+
+def _texts(rng: np.random.Generator, n: int, words_per_text: int) -> list[str]:
+    vocab = _vocab()
+    idx = rng.integers(0, len(vocab), size=(n, words_per_text))
+    mat = vocab[idx]
+    return [" ".join(row) for row in mat]
+
+
+def generate_events(spec: WalSpec) -> pa.Table:
+    """Generation-order event table (op_seq == position, monotone ts)."""
+    rng = np.random.default_rng(spec.seed)
+    turns = 1 + rng.geometric(1.0 / max(spec.mean_turns - 1, 1.0), size=spec.n_convs)
+    conv_ids = np.array([f"conv_{i:07d}" for i in range(spec.n_convs)])
+
+    # --- inserts: one per (conv, turn), interleaved round-robin so
+    # conversations grow over time like a live system.
+    ins_conv = np.repeat(np.arange(spec.n_convs), turns)
+    ins_turn = np.concatenate([np.arange(t) for t in turns]).astype(np.int64)
+    order = np.lexsort((ins_conv, ins_turn))  # round-robin by turn depth
+    ins_conv, ins_turn = ins_conv[order], ins_turn[order]
+    n_ins = len(ins_conv)
+
+    # --- updates/deletes target existing keys; hot-key skew via Zipf
+    # over conversations (reference leaves skew unhandled — we model it
+    # explicitly per SURVEY §4).
+    if spec.zipf_s > 0:
+        w = 1.0 / np.power(np.arange(1, spec.n_convs + 1, dtype=np.float64), spec.zipf_s)
+        w /= w.sum()
+    else:
+        w = np.full(spec.n_convs, 1.0 / spec.n_convs)
+
+    n_upd = int(n_ins * spec.update_frac)
+    n_del = int(n_ins * spec.delete_frac)
+    upd_conv = rng.choice(spec.n_convs, size=n_upd, p=w)
+    upd_turn = (rng.random(n_upd) * turns[upd_conv]).astype(np.int64)
+    del_conv = rng.choice(spec.n_convs, size=n_del, p=w)
+    del_turn = (rng.random(n_del) * turns[del_conv]).astype(np.int64)
+
+    op = np.concatenate(
+        [
+            np.full(n_ins, "I"),
+            np.full(n_upd, "U"),
+            np.full(n_del, "D"),
+        ]
+    )
+    conv = np.concatenate([ins_conv, upd_conv, del_conv])
+    turn = np.concatenate([ins_turn, upd_turn, del_turn])
+
+    # interleave updates/deletes after their key's insert position:
+    # place inserts at their round-robin position, mutations at a random
+    # later position, then argsort.
+    pos = np.empty(len(op), dtype=np.float64)
+    pos[:n_ins] = np.arange(n_ins)
+    pos[n_ins:] = rng.random(n_upd + n_del) * len(op) + n_ins * 0.25
+    order = np.argsort(pos, kind="stable")
+    op, conv, turn = op[order], conv[order], turn[order]
+
+    n = len(op)
+    op_seq = np.arange(n, dtype=np.int64)
+    ts = _EPOCH_US + op_seq * 1_000_000 + rng.integers(0, 1000, size=n)
+
+    role_cycle = np.array(spec.roles)
+    role = role_cycle[(turn % (len(role_cycle) - 1) + 1).astype(np.int64)]
+    role[turn == 0] = spec.roles[0]  # turn 0 is the system prompt
+
+    # schema change: events after the change offset may carry tool calls;
+    # frac > 1 → no evolution, full schema from the first segment.
+    change_at = int(n * spec.schema_change_frac) if spec.schema_change_frac <= 1 else 0
+    tool = np.full(n, None, dtype=object)
+    post = np.arange(n) >= change_at
+    is_assistant = role == "assistant"
+    tool_mask = post & is_assistant & (rng.random(n) < 0.3)
+    tool_names = np.array(["search", "code", "browse", "calc"])
+    tool[tool_mask] = tool_names[rng.integers(0, len(tool_names), size=int(tool_mask.sum()))]
+    role[post & (rng.random(n) < 0.05) & (turn > 0)] = "tool"
+
+    rev_tag = np.where(op == "U", "rev", "orig")
+    base_texts = _texts(rng, n, spec.words_per_text)
+    text = [
+        f"{conv_ids[c]} turn {t} {rt} seq {s}: {bt}"
+        for c, t, rt, s, bt in zip(conv, turn, rev_tag, op_seq, base_texts)
+    ]
+    is_del = op == "D"
+    text = np.array(text, dtype=object)
+    text[is_del] = None
+    role = role.astype(object)
+    role[is_del] = None
+    tool[is_del] = None
+
+    return pa.table(
+        {
+            "op": pa.array(op, type=pa.string()),
+            "op_seq": pa.array(op_seq, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "conv_id": pa.array(conv_ids[conv], type=pa.string()),
+            "turn_idx": pa.array(turn, type=pa.int32()),
+            "role": pa.array(role, type=pa.string()),
+            "text": pa.array(text, type=pa.large_string()),
+            "tool": pa.array(tool, type=pa.string()),
+        },
+        schema=EVENT_SCHEMA,
+    )
+
+
+def delivery_order(spec: WalSpec, n: int) -> np.ndarray:
+    """Indices into the generation-order table, in delivery order —
+    applies duplication then bounded-window shuffling."""
+    rng = np.random.default_rng(spec.seed + 1)
+    idx = np.arange(n, dtype=np.int64)
+    if spec.dup_rate > 0:
+        dup = idx[rng.random(n) < spec.dup_rate]
+        # duplicates re-delivered a short while later
+        dup_pos = np.minimum(dup + rng.integers(1, 500, size=len(dup)), n * 2)
+        pos = np.concatenate([idx.astype(np.float64), dup_pos + rng.random(len(dup))])
+        idx = np.concatenate([idx, dup])
+        order = np.argsort(pos, kind="stable")
+        idx = idx[order]
+    if spec.shuffle_window > 1:
+        jitter = rng.random(len(idx)) * spec.shuffle_window
+        order = np.argsort(np.arange(len(idx)) + jitter, kind="stable")
+        idx = idx[order]
+    return idx
+
+
+def write_wal(spec: WalSpec, wal_dir: str | Path, overwrite: bool = False) -> list[Path]:
+    """Write WAL segments; returns segment paths in offset order.
+
+    Segments whose starting delivery offset precedes the schema-change
+    point are written WITHOUT the ``tool`` column (EVENT_SCHEMA_V0) —
+    the physical schema-evolution case the engine must reconcile.
+    """
+    wal_dir = Path(wal_dir)
+    if wal_dir.exists():
+        if not overwrite and any(wal_dir.glob("seg-*.parquet")):
+            return sorted(wal_dir.glob("seg-*.parquet"))
+        shutil.rmtree(wal_dir)
+    wal_dir.mkdir(parents=True)
+
+    events = generate_events(spec)
+    order = delivery_order(spec, events.num_rows)
+    delivered = events.take(pa.array(order))
+    n = delivered.num_rows
+    change_at = (
+        int(events.num_rows * spec.schema_change_frac)
+        if spec.schema_change_frac <= 1
+        else 0
+    )
+
+    paths = []
+    for start in range(0, n, spec.seg_size):
+        seg = delivered.slice(start, spec.seg_size)
+        # a segment is pre-change iff every delivered op_seq < change_at
+        max_seq = pa.compute.max(seg["op_seq"]).as_py()
+        if max_seq is not None and max_seq < change_at:
+            seg = seg.drop_columns(["tool"]).cast(EVENT_SCHEMA_V0)
+        p = wal_dir / f"seg-{start:012d}.parquet"
+        pq.write_table(seg, p)
+        paths.append(p)
+    return paths

@@ -1,0 +1,142 @@
+"""Replay-correctness suite: engine final state vs single-process oracle
+under the FIXTURES.md F2 scenario matrix (clean / dupes / out_of_order /
+schema_change / hot_key / crash_restart)."""
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+from etl_geodata_pipeline_ray.cdc.generator import WalSpec, write_wal
+from etl_geodata_pipeline_ray.cdc.oracle import oracle_final_state
+from etl_geodata_pipeline_ray.cdc.replay import lake_final_table, read_lake, replay
+
+SCENARIOS = {
+    "clean": WalSpec(n_convs=150, seed=11),
+    "dupes": WalSpec(n_convs=150, seed=12, dup_rate=0.1),
+    "out_of_order": WalSpec(n_convs=150, seed=13, shuffle_window=300),
+    "schema_change": WalSpec(n_convs=150, seed=14, schema_change_frac=0.5, seg_size=500),
+    "hot_key": WalSpec(n_convs=150, seed=15, zipf_s=1.2, dup_rate=0.05),
+    "everything": WalSpec(
+        n_convs=200, seed=16, dup_rate=0.1, shuffle_window=250,
+        schema_change_frac=0.6, zipf_s=1.1, seg_size=800,
+    ),
+}
+
+
+def _run(tmp_path: Path, spec: WalSpec, **replay_kw):
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    write_wal(spec, wal, overwrite=True)
+    stats = replay(wal, lake, num_shards=8, **replay_kw)
+    return wal, lake, stats
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_scenario_matches_oracle(ray_session, tmp_path, name):
+    spec = SCENARIOS[name]
+    wal, lake, _ = _run(tmp_path, spec)
+    eng = lake_final_table(lake)
+    ora = oracle_final_state(wal)
+    assert eng.num_rows == ora.num_rows
+    assert eng.equals(ora), f"{name}: engine state != oracle state"
+
+
+def test_replay_is_idempotent(ray_session, tmp_path):
+    spec = SCENARIOS["everything"]
+    wal, lake, stats1 = _run(tmp_path, spec)
+    stats2 = replay(wal, lake, num_shards=8)
+    assert stats2["committed_segments"] == 0
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_crash_restart_partial_commit(ray_session, tmp_path):
+    """Apply half the WAL, then 'crash' by deleting one shard's manifest
+    (simulating a crash before that shard's manifest write) and leaving
+    its orphan data files; resume must converge to the oracle state."""
+    spec = SCENARIOS["everything"]
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    segs = write_wal(spec, wal, overwrite=True)
+    assert len(segs) >= 3
+    replay(wal, lake, num_shards=8, max_segments=len(segs) // 2)
+
+    # torn commit: shard 3's manifest never landed
+    (lake / "_manifests" / "shard-00003.json").unlink()
+
+    replay(wal, lake, num_shards=8)
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_resume_skips_committed_segments(ray_session, tmp_path):
+    spec = SCENARIOS["clean"]
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    segs = write_wal(spec, wal, overwrite=True)
+    replay(wal, lake, num_shards=8, max_segments=1)
+    stats = replay(wal, lake, num_shards=8)
+    assert stats["committed_segments"] == len(segs) - 1
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_salting_engages_and_preserves_state(ray_session, tmp_path):
+    spec = SCENARIOS["hot_key"]
+    wal, lake, stats = _run(tmp_path, spec, salt_threshold=200)
+    assert stats["salted_shards"] > 0, "hot-key scenario should trigger salting"
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+    # re-salt path: second replay with different threshold over new segments
+    spec2 = WalSpec(n_convs=150, seed=15, zipf_s=1.2, dup_rate=0.05, mean_turns=14.0)
+    wal2 = tmp_path / "wal2"
+    write_wal(spec2, wal2, overwrite=True)
+    replay(wal2, lake, num_shards=8, salt_threshold=10_000)  # collapses salt
+    # lake now reflects both logs merged under LWW
+
+
+def test_schema_evolution_nullfills_tool(ray_session, tmp_path):
+    spec = SCENARIOS["schema_change"]
+    wal, lake, _ = _run(tmp_path, spec)
+    # physical check: at least one segment lacks tool, one has it
+    schemas = [pq.read_schema(p).names for p in sorted(wal.glob("seg-*.parquet"))]
+    assert any("tool" not in s for s in schemas)
+    assert any("tool" in s for s in schemas)
+    eng = lake_final_table(lake)
+    assert "tool" in eng.column_names
+    assert eng.equals(oracle_final_state(wal))
+
+
+def test_read_lake_dataset(ray_session, tmp_path):
+    spec = SCENARIOS["clean"]
+    wal, lake, _ = _run(tmp_path, spec)
+    ds = read_lake(lake)
+    assert ds.count() == oracle_final_state(wal).num_rows
+    assert set(ds.schema().names) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+
+
+def test_tombstones_prevent_resurrection(ray_session, tmp_path):
+    """A stale update re-delivered in a later commit, after the delete
+    that supersedes it was already committed, must not resurrect the
+    row — the tombstone's (ts, op_seq) wins under LWW."""
+    import pyarrow as pa
+
+    from etl_geodata_pipeline_ray.cdc.schema import EVENT_SCHEMA
+
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    wal.mkdir()
+
+    def seg(path, rows):
+        cols = {k: [r[k] for r in rows] for k in EVENT_SCHEMA.names}
+        pq.write_table(pa.table(cols, schema=EVENT_SCHEMA), path)
+
+    e = lambda op, seq, text=None: {
+        "op": op, "op_seq": seq, "ts": 1_700_000_000_000_000 + seq,
+        "conv_id": "conv_x", "turn_idx": 0,
+        "role": None if op == "D" else "user", "text": text, "tool": None,
+    }
+    seg(wal / "seg-000000000000.parquet", [e("I", 0, "v0"), e("D", 2)])
+    replay(wal, lake, num_shards=4)
+    assert lake_final_table(lake).num_rows == 0
+    # late duplicate of an *older* update arrives in the next segment
+    seg(wal / "seg-000000000002.parquet", [e("U", 1, "stale")])
+    replay(wal, lake, num_shards=4)
+    assert lake_final_table(lake).num_rows == 0, "stale update resurrected a deleted row"
