@@ -1,44 +1,75 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC pipeline on sf0.001; ``queries()``
+exposes one callable per implemented operator/pipeline from SURVEY §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry (identical column names + rounding).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported —
+nothing here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import shutil
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: CDC replay of a deterministic transcript WAL into the
+    lake (generate → replay with LWW/salting/manifests → read back),
+    exercised at smoke scale, plus a smoke aggregate on sf0.001."""
+    from etl_geodata_pipeline_ray.cdc.generator import WalSpec, write_wal
+    from etl_geodata_pipeline_ray.cdc.replay import read_lake, replay
+
+    spec = WalSpec(
+        n_convs=300, seed=42, dup_rate=0.08, shuffle_window=200,
+        schema_change_frac=0.6, zipf_s=1.1,
+    )
+    root = Path("/tmp/graft_entry") / spec.key()
+    wal, lake = root / "wal", root / "lake"
+    write_wal(spec, wal)
+    shutil.rmtree(lake, ignore_errors=True)
+    replay(wal, lake, num_shards=8)
+    return read_lake(lake)
+
+
+def _cdc_query(sf_dir: str):
+    """CDC replay sized by sf tier; returns the final lake table
+    (rows-only check: WAL is synthesized, not SQL-visible)."""
+    from etl_geodata_pipeline_ray.cdc.generator import WalSpec, write_wal
+    from etl_geodata_pipeline_ray.cdc.oracle import oracle_final_state
+    from etl_geodata_pipeline_ray.cdc.replay import lake_final_table, replay
+
+    n = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 8000}.get(Path(sf_dir).name, 1000)
+    spec = WalSpec(
+        n_convs=n, seed=42, dup_rate=0.08, shuffle_window=200,
+        schema_change_frac=0.6, zipf_s=1.1, seg_size=max(2000, n * 4),
+    )
+    root = Path("/tmp/graft_cdc") / spec.key()
+    wal, lake = root / "wal", root / "lake"
+    write_wal(spec, wal)
+    shutil.rmtree(lake, ignore_errors=True)
+    replay(wal, lake, num_shards=16)
+    final = lake_final_table(lake)
+    assert final.equals(oracle_final_state(wal)), "CDC replay diverged from oracle"
+    return final
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from etl_geodata_pipeline_ray.pipelines.queries import RELATIONAL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()
+    }
+    out["q50_cdc_replay_transcripts"] = _cdc_query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from etl_geodata_pipeline_ray.pipelines.queries import RELATIONAL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items() if sql}

@@ -1,0 +1,98 @@
+"""Grouped aggregates beyond the built-ins: entropy, distinct-count,
+weighted mean, histograms, composite scores (SURVEY §2.5 A1-A13).
+
+Strategy at scale: pre-aggregate inside ``map_batches`` (emit one
+partial row per key per batch), then run the shuffle-side
+``groupby`` over the much smaller partials — the combiner pattern the
+reference never needed single-node but 100 TB requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def grouped_value_counts(
+    ds: ray.data.Dataset, group: str, value: str, count_name: str = "cnt"
+) -> ray.data.Dataset:
+    """(group, value) → count, with per-batch partial counting before
+    the shuffle (A4; reference ``value_counts()``
+    ``process_layers.py:207``)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group, value]).to_pandas()
+        out = df.groupby([group, value], dropna=False).size().reset_index(name=count_name)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby([group, value]).sum(
+        count_name
+    )
+
+
+def shannon_entropy(
+    ds: ray.data.Dataset,
+    group: str,
+    value: str,
+    output: str = "entropy",
+    ndigits: int = 4,
+    base: str = "e",
+) -> ray.data.Dataset:
+    """Per-group Shannon entropy of the ``value`` distribution (A5;
+    reference ``stuttgart_maps_all.py:618-625``). Two-phase: partial
+    (group,value) counts, then a tiny per-group entropy pass."""
+    counts = grouped_value_counts(ds, group, value)
+    cnt_col = f"sum(cnt)"
+
+    def ent(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[cnt_col].to_numpy(dtype=np.float64)
+        p = c / c.sum()
+        h = -(p * (np.log(p) if base == "e" else np.log2(p))).sum()
+        return pd.DataFrame({group: [g[group].iloc[0]], output: [round(float(h), ndigits)]})
+
+    return counts.groupby(group).map_groups(ent, batch_format="pandas")
+
+
+def distinct_count(
+    ds: ray.data.Dataset, group: str, value: str, output: str = "n_distinct"
+) -> ray.data.Dataset:
+    """Exact distinct-count per group (A3; reference ``nunique()``
+    ``comprehensive_maps_stuttgart.py:357-360``): dedup (group,value)
+    pairs via partial counts, then count per group."""
+    pairs = grouped_value_counts(ds, group, value)
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({group: [g[group].iloc[0]], output: [int(len(g))]})
+
+    return pairs.groupby(group).map_groups(cnt, batch_format="pandas")
+
+
+def weighted_mean(
+    ds: ray.data.Dataset,
+    group: str,
+    value: str,
+    weight: str,
+    output: str = "wmean",
+    ndigits: int = 4,
+) -> ray.data.Dataset:
+    """Σwx/Σw per group via partial sums (A6; reference
+    ``np.average(..., weights=pop)`` ``make_maps.py:192-201``)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group, value, weight]).to_pandas()
+        df["_wx"] = df[value] * df[weight]
+        out = df.groupby(group).agg(_wx=("_wx", "sum"), _w=(weight, "sum")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    summed = partials.groupby(group).sum(["_wx", "_w"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        wx = batch["sum(_wx)"].to_numpy(zero_copy_only=False)
+        w = batch["sum(_w)"].to_numpy(zero_copy_only=False)
+        out = np.round(wx / w, ndigits)
+        return pa.table({group: batch[group], output: pa.array(out)})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
