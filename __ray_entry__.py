@@ -59,17 +59,20 @@ def _cdc_query(sf_dir: str):
     return final
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
+def _catalog() -> dict[str, tuple]:
+    from etl_geodata_pipeline_ray.pipelines.content_queries import CONTENT_QUERIES
     from etl_geodata_pipeline_ray.pipelines.queries import RELATIONAL_QUERIES
 
+    return {**RELATIONAL_QUERIES, **CONTENT_QUERIES}
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {
-        name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()
+        name: fn for name, (fn, _sql) in _catalog().items()
     }
     out["q50_cdc_replay_transcripts"] = _cdc_query
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from etl_geodata_pipeline_ray.pipelines.queries import RELATIONAL_QUERIES
-
-    return {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items() if sql}
+    return {name: sql for name, (_fn, sql) in _catalog().items() if sql}

@@ -1,0 +1,214 @@
+"""Training-data / content operators catalog: text analysis, dedup
+family, similarity search, multimodal plumbing — over ``documents`` /
+``embeddings`` (+ synthesized media). SQL-expressible entries carry a
+DuckDB oracle; sketch/heuristic ops are rows-only and verified by
+property tests in tests/test_content_ops.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Mean
+
+from ..stages.dedup import (
+    embedding_near_dupes,
+    exact_dedup,
+    minhash_dedup_groups,
+    simhash_near_dupes,
+)
+from ..stages.similarity import cosine_topk, ivf_topk
+from ..stages.text import Fingerprinter, LangId, QualityScorer, token_stats
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _embs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- q21
+def q21_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Token counting (whitespace) per language — one vectorized regex
+    kernel per batch, partial sums before the tiny groupby."""
+    ds = _docs(sf_dir, ["lang", "text"])
+    return token_stats(ds, "text", "lang").to_pandas()
+
+
+Q21_SQL = r"""
+SELECT lang,
+       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- q22
+def q22_doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality scoring per source: avg tokens + avg chars-per-token."""
+    ds = _docs(sf_dir, ["source", "text"])
+    scored = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 8))
+    out = (
+        scored.groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_tokens", alias_name="avg_tokens"),
+            Mean("chars_per_token", alias_name="avg_cpt"),
+        )
+        .to_pandas()
+    )
+    out["avg_tokens"] = (out["avg_tokens"] + 0.0).round(4)
+    out["avg_cpt"] = (out["avg_cpt"] + 0.0).round(4)
+    return out
+
+
+Q22_SQL = r"""
+WITH q AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(replace(text, ' ', '')) AS dense
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(round(dense / n_tokens, 4)), 4) AS avg_cpt
+FROM q GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- q23
+def q23_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup (hash-partitioned keep-min-id) then per-lang counts
+    of surviving docs."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    kept = exact_dedup(ds, "text", "doc_id")
+    return kept.groupby("lang").aggregate(Count(alias_name="n_unique")).to_pandas()
+
+
+Q23_SQL = """
+WITH kept AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                 FROM documents) WHERE rn = 1)
+SELECT lang, count(*) AS n_unique FROM kept GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- q24
+_ANN_QUERY_IDS = [0, 1, 2]
+
+
+def q24_ann_cosine(sf_dir: str) -> pd.DataFrame:
+    """Exact brute-force cosine top-10 per query vector (broadcast
+    query matrix, per-batch float64 matmul, per-batch local top-k)."""
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = np.isin(np.asarray(qt["vec_id"]), _ANN_QUERY_IDS)
+    qrows = qt.filter(pa.array(mask)).sort_by("vec_id")
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"].to_pylist()])
+    return cosine_topk(
+        _embs(sf_dir), Q, list(np.asarray(qrows["vec_id"])), k=10, dim=Q.shape[1]
+    )
+
+
+Q24_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2))
+SELECT query_id, vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])), 4) AS cos
+FROM embeddings, q
+WHERE vec_id != query_id
+QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])) DESC, vec_id) <= 10
+"""
+
+# ----------------------------------------------- rows-only entries --
+def q25_minhash_near_dupes(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup clusters (sig-estimated Jaccard ≥ 0.8)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return minhash_dedup_groups(ds, threshold=0.8)
+
+
+def q26_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash banded near-dup pairs (Hamming ≤ 3), summarized as a
+    per-distance histogram (the synthetic docs share one vocabulary, so
+    raw pair lists are large; the full pair frame is available from
+    ``stages.dedup.simhash_near_dupes``)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = simhash_near_dupes(ds, max_hamming=3)
+    out = pairs.groupby("hamming").size().reset_index(name="n_pairs")
+    return out.astype({"hamming": "int64", "n_pairs": "int64"})
+
+
+def q27_langid(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language-ID distribution (marker lexicons)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
+    return pred.groupby("lang_pred").aggregate(Count(alias_name="n")).to_pandas()
+
+
+def q28_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints for a stable slice of documents."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_id"], pa.scalar(50))),
+        batch_format="pyarrow",
+    )
+    fp = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))
+    return fp.select_columns(["doc_id", "fingerprint"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q29_embedding_near_dupes(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
+    return embedding_near_dupes(_embs(sf_dir), threshold=0.95)
+
+
+def q30_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate ANN vs exact brute force: recall@10 per query —
+    the scale path self-scored against the baseline."""
+    exact = q24_ann_cosine(sf_dir)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = np.isin(np.asarray(qt["vec_id"]), _ANN_QUERY_IDS)
+    qrows = qt.filter(pa.array(mask)).sort_by("vec_id")
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"].to_pylist()])
+    approx = ivf_topk(
+        _embs(sf_dir), Q, list(np.asarray(qrows["vec_id"])), k=10, dim=Q.shape[1], nprobe=6
+    )
+    rows = []
+    for qid in _ANN_QUERY_IDS:
+        want = set(exact[exact.query_id == qid]["vec_id"])
+        got = set(approx[approx.query_id == qid]["vec_id"])
+        rows.append({"query_id": qid, "recall_at_10": round(len(want & got) / max(1, len(want)), 4)})
+    return pd.DataFrame(rows)
+
+
+def q31_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: synthetic binary media → actor-pool decode
+    stub → feature table (payload dropped post-decode)."""
+    from ..stages.multimodal import media_feature_pipeline
+
+    return media_feature_pipeline(n=64, seed=21).to_pandas()
+
+
+def q32_frame_sampling(sf_dir: str) -> pd.DataFrame:
+    """Video-path frame sampling layout (stub; one row per sampled frame)."""
+    from ..stages.multimodal import FrameSampler, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(64, 21))
+    out = ds.map_batches(FrameSampler(stride=2), batch_format="pandas")
+    return out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+CONTENT_QUERIES = {
+    "q21_token_stats": (q21_token_stats, Q21_SQL),
+    "q22_doc_quality": (q22_doc_quality, Q22_SQL),
+    "q23_exact_dedup": (q23_exact_dedup, Q23_SQL),
+    "q24_ann_cosine": (q24_ann_cosine, Q24_SQL),
+    "q25_minhash_near_dupes": (q25_minhash_near_dupes, None),
+    "q26_simhash_pairs": (q26_simhash_pairs, None),
+    "q27_langid": (q27_langid, None),
+    "q28_fingerprints": (q28_fingerprints, None),
+    "q29_embedding_near_dupes": (q29_embedding_near_dupes, None),
+    "q30_ivf_recall": (q30_ivf_recall, None),
+    "q31_media_features": (q31_media_features, None),
+    "q32_frame_sampling": (q32_frame_sampling, None),
+}

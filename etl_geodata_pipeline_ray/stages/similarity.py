@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``cosine_topk`` — exact brute-force top-k per query: broadcast the
+  query matrix once (``ray.put``), per batch one float64 matmul, keep
+  the per-batch local top-k, finish with a tiny per-query merge. The
+  only data crossing the shuffle is (n_batches × k × n_queries) rows.
+* ``ivf_topk`` — IVF-style scale path: k-means centroids trained on a
+  driver-side sample, broadcast; per batch assign + search only probed
+  partitions. Approximate; recall controlled by ``nprobe``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
+    """Embedding column → (n, dim) float64 matrix. Handles plain Arrow
+    list arrays (zero-copy flatten) and Ray's ArrowTensorArray
+    extension type (from_pandas ndarray columns)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        return np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype == object:
+        arr = np.stack(arr)
+    return np.asarray(arr, dtype=np.float64).reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def cosine_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector. Returns
+    (query_id, vec_id, cos) with cos rounded to 4 digits and
+    deterministic (cos desc, vec_id asc) tie order."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(Q)
+    qids = np.asarray(query_ids)
+
+    class LocalTopK:
+        def __init__(self):
+            self.Q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = _normalize(_to_matrix(batch[emb_col], dim))
+            ids = np.asarray(batch[id_col])
+            S = E @ self.Q.T  # (n, q)
+            out_q, out_id, out_cos = [], [], []
+            for j in range(S.shape[1]):
+                s = S[:, j]
+                m = np.ones(len(s), dtype=bool)
+                if exclude_self:
+                    m &= ids != qids[j]
+                sj, idsj = s[m], ids[m]
+                if len(sj) > k:
+                    part = np.argpartition(-sj, k)[:k]
+                    sj, idsj = sj[part], idsj[part]
+                out_q.append(np.full(len(sj), qids[j]))
+                out_id.append(idsj)
+                out_cos.append(sj)
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+                    "cos": pa.array(np.concatenate(out_cos)),
+                }
+            )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", id_col], ascending=[False, True], kind="stable").head(k)
+        g["cos"] = g["cos"].round(4)
+        return g
+
+    return (
+        ds.map_batches(LocalTopK, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("query_id")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+def train_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    sample_fraction: float = 0.25,
+    emb_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 10,
+    seed: int = 3,
+) -> np.ndarray:
+    """Driver-side Lloyd's k-means on a bounded sample (sketch-sized;
+    the full dataset never materializes)."""
+    sample = ds.random_sample(sample_fraction, seed=seed).limit(50_000)
+    X = _normalize(
+        np.stack(
+            [np.asarray(r[emb_col], dtype=np.float64) for r in sample.take_all()]
+        )
+    )
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    return C
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> pd.DataFrame:
+    """IVF approximate top-k: only batches' vectors assigned to each
+    query's ``nprobe`` nearest centroids are scored. Same output shape
+    as ``cosine_topk``."""
+    C = train_centroids(ds, n_centroids=n_centroids, emb_col=emb_col, dim=dim)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    cref = ray.put((C, Q, probe))
+    qids = np.asarray(query_ids)
+
+    class ProbedTopK:
+        def __init__(self):
+            self.C, self.Q, self.probe = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = _normalize(_to_matrix(batch[emb_col], dim))
+            ids = np.asarray(batch[id_col])
+            assign = (E @ self.C.T).argmax(axis=1)
+            out_q, out_id, out_cos = [], [], []
+            for j in range(len(self.Q)):
+                m = np.isin(assign, self.probe[j]) & (ids != qids[j])
+                if not m.any():
+                    continue
+                s = E[m] @ self.Q[j]
+                idsj = ids[m]
+                if len(s) > k:
+                    part = np.argpartition(-s, k)[:k]
+                    s, idsj = s[part], idsj[part]
+                out_q.append(np.full(len(s), qids[j]))
+                out_id.append(idsj)
+                out_cos.append(s)
+            if not out_q:
+                return pa.table(
+                    {"query_id": pa.array([], type=pa.int64()),
+                     id_col: pa.array([], type=pa.int64()),
+                     "cos": pa.array([], type=pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+                    "cos": pa.array(np.concatenate(out_cos)),
+                }
+            )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", id_col], ascending=[False, True], kind="stable").head(k)
+        g["cos"] = g["cos"].round(4)
+        return g
+
+    return (
+        ds.map_batches(ProbedTopK, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("query_id")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )

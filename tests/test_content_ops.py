@@ -1,0 +1,172 @@
+"""Property tests for the training-data operator family: planted
+near-duplicates must be found, exact dedup must keep min-id, language
+markers must be recognized, ANN must rank the planted neighbor first,
+multimodal plumbing must round-trip binary payloads."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs_with_dupes():
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(500)])
+    rows = []
+    for i in range(200):
+        toks = rng.choice(vocab, size=60)
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    # planted exact dupes: 300 == copy of 0, 301 == copy of 1
+    rows.append({"doc_id": 300, "text": rows[0]["text"]})
+    rows.append({"doc_id": 301, "text": rows[1]["text"]})
+    # planted near-dupes: 302 = doc 2 with 3 words changed (~95% jaccard)
+    toks = rows[2]["text"].split()
+    toks[10], toks[20], toks[30] = "xx1", "xx2", "xx3"
+    rows.append({"doc_id": 302, "text": " ".join(toks)})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_pandas(_docs_with_dupes())
+
+
+def test_exact_dedup_keeps_min_id(docs_ds):
+    from etl_geodata_pipeline_ray.stages.dedup import exact_dedup
+
+    kept = exact_dedup(docs_ds).to_pandas()
+    ids = set(kept["doc_id"])
+    assert 300 not in ids and 301 not in ids
+    assert 0 in ids and 1 in ids
+    assert 302 in ids  # near-dup is NOT an exact dup
+    assert len(kept) == 201
+
+
+def test_minhash_finds_planted_near_dupes(docs_ds):
+    from etl_geodata_pipeline_ray.stages.dedup import minhash_dedup_groups
+
+    groups = minhash_dedup_groups(docs_ds, threshold=0.7)
+    gmap = dict(zip(groups["doc_id"], groups["group"]))
+    assert gmap.get(300) == 0 and gmap.get(301) == 1
+    assert gmap.get(302) == 2, "near-dup with ~90% shingle overlap missed"
+    # nothing else should cluster with them
+    clustered = set(gmap) - {0, 1, 2, 300, 301, 302}
+    assert len(clustered) <= 2, f"unexpected near-dup clusters: {clustered}"
+
+
+def test_simhash_flags_planted_dupes(docs_ds):
+    from etl_geodata_pipeline_ray.stages.dedup import simhash_near_dupes
+
+    pairs = simhash_near_dupes(docs_ds, max_hamming=3)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 300) in got and (1, 301) in got
+
+
+def test_ngram_jaccard_exact_pairs(ray_session):
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.dedup import ngram_jaccard_pairs
+
+    df = _docs_with_dupes()
+    df["block"] = 0
+    pairs = ngram_jaccard_pairs(
+        ray.data.from_pandas(df), "block", threshold=0.5
+    )
+    got = {(a, b): j for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"])}
+    assert got.get((0, 300)) == 1.0
+    assert 0.5 <= got.get((2, 302), 0) < 1.0
+
+
+def test_langid_markers(ray_session):
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.text import LangId
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "the cat and the dog sat in the house for a while",
+                "le chat et le chien sont dans la maison et le jardin",
+                "el gato y el perro en la casa de los abuelos",
+                "der hund und die katze sind nicht mit der maus zu hause",
+                "zzz qqq vvv kkk",
+            ]
+        }
+    )
+    out = ray.data.from_pandas(df).map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
+    assert list(out["lang_pred"]) == ["en", "fr", "es", "de", "und"]
+
+
+def test_quality_and_tokens(ray_session):
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.text import QualityScorer
+
+    df = pd.DataFrame({"text": ["one two three", "a b", "word"]})
+    out = (
+        ray.data.from_pandas(df)
+        .map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    assert list(out["n_tokens"]) == [3, 2, 1]
+    assert out["chars_per_token"].iloc[1] == 1.0
+
+
+def test_fingerprint_stability_and_sensitivity(ray_session):
+    from etl_geodata_pipeline_ray.stages.text import Fingerprinter
+
+    fp = Fingerprinter()
+    t = "the quick brown fox jumps over the lazy dog " * 5
+    a = fp._doc_fp(t.encode())
+    b = fp._doc_fp(t.encode())
+    c = fp._doc_fp((t + " extra").encode())
+    assert a == b
+    assert a != c
+
+
+def test_embedding_near_dupes_plants(ray_session):
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.dedup import embedding_near_dupes
+
+    rng = np.random.default_rng(9)
+    E = rng.standard_normal((100, 16))
+    E[50] = E[0] + rng.standard_normal(16) * 0.01  # planted near-identical
+    df = pd.DataFrame({"vec_id": np.arange(100), "embedding": list(E.astype(np.float32))})
+    pairs = embedding_near_dupes(
+        ray.data.from_pandas(df), dim=16, threshold=0.99, num_planes=6
+    )
+    assert (0, 50) in set(zip(pairs["a"], pairs["b"]))
+
+
+def test_ann_exact_neighbor_rank(ray_session):
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.similarity import cosine_topk
+
+    rng = np.random.default_rng(11)
+    E = rng.standard_normal((200, 16))
+    E[99] = E[0] * 2.0  # same direction → cosine 1.0
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(E.astype(np.float32))})
+    out = cosine_topk(
+        ray.data.from_pandas(df), E[[0]], [0], k=5, dim=16
+    )
+    assert out.iloc[0]["vec_id"] == 99
+    assert out.iloc[0]["cos"] == 1.0
+
+
+def test_multimodal_decode_plumbing(ray_session):
+    from etl_geodata_pipeline_ray.stages.multimodal import (
+        DecodeImage,
+        media_feature_pipeline,
+        synth_media_table,
+    )
+
+    out = media_feature_pipeline(n=32, seed=3).to_pandas()
+    assert len(out) == 32
+    assert "payload" not in out.columns
+    src = synth_media_table(32, 3).to_pandas()
+    assert (out.sort_values("media_id")["dec_width"].to_numpy() == src["width"].to_numpy()).all()
+    with pytest.raises(NotImplementedError):
+        DecodeImage(mode="real")._features(b"GIMG\x08\x00\x08\x00\x03")
