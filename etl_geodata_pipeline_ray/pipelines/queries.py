@@ -460,11 +460,7 @@ def q18_user_sessions(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     sess = session_windows(ds, "user_id", "ts", gap_seconds=3600.0)
-
-    def cnt(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [len(g)]})
-
-    return sess.groupby("user_id").map_groups(cnt, batch_format="pandas").to_pandas()
+    return sess.groupby("user_id").aggregate(Count(alias_name="n_sessions")).to_pandas()
 
 
 Q18_SQL = """

@@ -43,16 +43,22 @@ def shannon_entropy(
     """Per-group Shannon entropy of the ``value`` distribution (A5;
     reference ``stuttgart_maps_all.py:618-625``). Two-phase: partial
     (group,value) counts, then a tiny per-group entropy pass."""
+    from .bucketed import bucketed_apply
+
     counts = grouped_value_counts(ds, group, value)
-    cnt_col = f"sum(cnt)"
+    cnt_col = "sum(cnt)"
+    log = np.log if base == "e" else np.log2
 
     def ent(g: pd.DataFrame) -> pd.DataFrame:
-        c = g[cnt_col].to_numpy(dtype=np.float64)
-        p = c / c.sum()
-        h = -(p * (np.log(p) if base == "e" else np.log2(p))).sum()
-        return pd.DataFrame({group: [g[group].iloc[0]], output: [round(float(h), ndigits)]})
+        # vectorized across ALL groups in the bucket (C-level groupby)
+        tot = g.groupby(group)[cnt_col].transform("sum").to_numpy(dtype=np.float64)
+        p = g[cnt_col].to_numpy(dtype=np.float64) / tot
+        g = g.assign(_plogp=-p * log(p))
+        out = g.groupby(group, as_index=False)["_plogp"].sum()
+        out[output] = (out["_plogp"] + 0.0).round(ndigits)
+        return out[[group, output]]
 
-    return counts.groupby(group).map_groups(ent, batch_format="pandas")
+    return bucketed_apply(counts, [group], ent, n_buckets=16)
 
 
 def distinct_count(
@@ -61,12 +67,15 @@ def distinct_count(
     """Exact distinct-count per group (A3; reference ``nunique()``
     ``comprehensive_maps_stuttgart.py:357-360``): dedup (group,value)
     pairs via partial counts, then count per group."""
+    from .bucketed import bucketed_apply
+
     pairs = grouped_value_counts(ds, group, value)
 
     def cnt(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({group: [g[group].iloc[0]], output: [int(len(g))]})
+        out = g.groupby(group, as_index=False).size()
+        return out.rename(columns={"size": output})
 
-    return pairs.groupby(group).map_groups(cnt, batch_format="pandas")
+    return bucketed_apply(pairs, [group], cnt, n_buckets=16)
 
 
 def weighted_mean(

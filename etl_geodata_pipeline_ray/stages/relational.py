@@ -97,17 +97,25 @@ def latest_per_key(
     ds: ray.data.Dataset,
     keys: list[str],
     order_by: list[str],
+    n_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Keep the row with max ``order_by`` per key group — the LWW /
     latest-selection shape (O3; reference latest-year filter
-    ``population_pipeline_stuttgart.py:52-53``). Shuffles once on the
-    key; the per-group body is a vectorized pandas idxmax."""
+    ``population_pipeline_stuttgart.py:52-53``).
 
-    def newest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_by, kind="stable")
-        return g.tail(1)
+    Two-phase for scale: (1) vectorized within-batch dedup BEFORE the
+    shuffle (the combiner — shrinks shuffled rows to ≤ keys-per-batch),
+    (2) one shuffle on ``hash(keys) % n_buckets`` and a single
+    vectorized keep-last kernel per bucket — NOT one pandas call per
+    key group."""
+    from .bucketed import bucketed_apply
 
-    return ds.groupby(keys).map_groups(newest, batch_format="pandas")
+    def keep_newest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order_by, kind="stable")
+        return g[~g.duplicated(keys, keep="last")]
+
+    partial = ds.map_batches(keep_newest, batch_format="pandas")
+    return bucketed_apply(partial, keys, keep_newest, n_buckets=n_buckets)
 
 
 def topk(ds: ray.data.Dataset, col: str, k: int, descending: bool = True) -> ray.data.Dataset:

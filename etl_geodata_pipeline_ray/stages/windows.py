@@ -10,6 +10,7 @@ in-task; documented per the guide's streaming-shaped pattern).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -43,17 +44,22 @@ def session_windows(
     split where the gap exceeds ``gap_seconds``; emits one row per
     session (key, session_start, session_end, n_events)."""
 
+    from .bucketed import bucketed_apply
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
+        # vectorized across every key in the bucket: one sort, one
+        # diff, session break where the key changes OR the gap exceeds
+        # the threshold, then a C-level two-key groupby.
+        g = g.sort_values([key, ts_col], kind="stable")
         ts = g[ts_col]
-        gap = ts.diff().dt.total_seconds().fillna(0.0)
-        sid = (gap > gap_seconds).cumsum()
-        out = g.groupby(sid).agg(
+        gap = ts.diff().dt.total_seconds().fillna(np.inf)
+        new_key = g[key].ne(g[key].shift())
+        sid = (new_key | (gap > gap_seconds)).cumsum()
+        out = g.assign(_sid=sid).groupby([key, "_sid"], as_index=False).agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
             n_events=(ts_col, "size"),
         )
-        out[key] = g[key].iloc[0]
-        return out.reset_index(drop=True)[[key, "session_start", "session_end", "n_events"]]
+        return out[[key, "session_start", "session_end", "n_events"]]
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    return bucketed_apply(ds, [key], sessions, n_buckets=32)

@@ -81,14 +81,14 @@ def test_resume_skips_committed_segments(ray_session, tmp_path):
 
 def test_salting_engages_and_preserves_state(ray_session, tmp_path):
     spec = SCENARIOS["hot_key"]
-    wal, lake, stats = _run(tmp_path, spec, salt_threshold=200)
+    wal, lake, stats = _run(tmp_path, spec, salt_threshold=20_000)
     assert stats["salted_shards"] > 0, "hot-key scenario should trigger salting"
     assert lake_final_table(lake).equals(oracle_final_state(wal))
     # re-salt path: second replay with different threshold over new segments
     spec2 = WalSpec(n_convs=150, seed=15, zipf_s=1.2, dup_rate=0.05, mean_turns=14.0)
     wal2 = tmp_path / "wal2"
     write_wal(spec2, wal2, overwrite=True)
-    replay(wal2, lake, num_shards=8, salt_threshold=10_000)  # collapses salt
+    replay(wal2, lake, num_shards=8, salt_threshold=50_000_000)  # collapses salt
     # lake now reflects both logs merged under LWW
 
 

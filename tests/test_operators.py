@@ -54,3 +54,17 @@ def test_entry_smoke(ray_session):
     ds = em.entry()
     assert ds.count() > 0
     assert "conv_id" in ds.schema().names
+
+
+def test_config_driven_pipeline(ray_session):
+    """SURVEY §2.10: YAML spec → pipeline; mirrors the reference's
+    config-driven rules plug-in (process_layers.py:42-47)."""
+    from etl_geodata_pipeline_ray.pipelines.spec import run_file
+
+    out = run_file("configs/part_categorize.yaml", sf_dir=SF_DIR).to_pandas()
+    assert set(out["category"]) <= {"budget", "premium", "standard", "other"}
+    assert out["n"].sum() == 200
+
+    out2 = run_file("configs/order_region_revenue.yaml", sf_dir=SF_DIR).to_pandas()
+    assert len(out2) == 10
+    assert (out2["revenue"].to_numpy()[:-1] >= out2["revenue"].to_numpy()[1:]).all()
