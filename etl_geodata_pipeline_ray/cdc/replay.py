@@ -199,18 +199,42 @@ def replay(
     salt_threshold: int = 512 * 1024 * 1024,  # bytes of delta run per merge task
     batch_size: int = 65536,
     max_segments: int | None = None,
+    mode: str = "rewrite",
+    compact_runs: int = 8,
 ) -> dict:
     """Replay all uncommitted WAL segments into the lake. Idempotent:
-    call again after a crash and it resumes from the manifests."""
+    call again after a crash and it resumes from the manifests.
+
+    ``mode="rewrite"`` — every touched shard is fully compacted (delta
+    + base → one file per salt). Simple reads; write amplification ∝
+    shard size per commit.
+
+    ``mode="append"`` — LSM fast path: each commit lands the shard's
+    deduped delta as a NEW run file without reading the base. Write
+    cost ∝ delta size only (the 10^10-events posture: a commit never
+    rewrites the lake). Readers LWW-merge runs per shard; a shard whose
+    run count would exceed ``compact_runs`` is auto-compacted during
+    the commit, and ``compact()`` forces full compaction."""
     lake_dir = Path(lake_dir)
-    # lake-level meta pins num_shards for the lake's lifetime (the hash
-    # partitioning must be stable across commits and restarts).
+    # lake-level meta pins num_shards (the hash partitioning must be
+    # stable across commits/restarts) and the WAL stream identity: a
+    # lake tails ONE log, and segment names ARE that log's offsets —
+    # so replaying a different stream whose names collide would
+    # silently no-op. Refuse instead (wal_id check).
+    wal_id = str(Path(wal_dir).resolve())
     meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
     if meta_path.exists():
         with open(meta_path) as f:
-            num_shards = json.load(f)["num_shards"]
+            meta = json.load(f)
+        num_shards = meta["num_shards"]
+        if meta.get("wal_id") not in (None, wal_id):
+            raise ValueError(
+                f"lake {lake_dir} tails WAL stream {meta['wal_id']!r}; "
+                f"refusing to replay {wal_id!r} — segment names are "
+                "stream offsets and would collide. Use a new lake dir."
+            )
     else:
-        mf.atomic_write_json({"num_shards": num_shards}, meta_path)
+        mf.atomic_write_json({"num_shards": num_shards, "wal_id": wal_id}, meta_path)
 
     import time as _time
 
@@ -269,7 +293,10 @@ def replay(
     timings["plan"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
     refs = []
+    rewrite_shard: dict[int, bool] = {}
     for sh, k, files in plans:
+        rewrite = mode == "rewrite" or len(old_files.get(sh, [])) + k > compact_runs
+        rewrite_shard[sh] = rewrite
         for j in range(k):
             refs.append(
                 _merge_task.remote(
@@ -281,7 +308,7 @@ def replay(
                     new_version.get(sh, 1),
                     num_shards,
                     files,
-                    old_files.get(sh, []),
+                    old_files.get(sh, []) if rewrite else [],
                 )
             )
     stats_rows = ray.get(refs)
@@ -317,6 +344,8 @@ def replay(
             key=lambda f: f["salt"],
         )
         old_m = manifests.get(sh)
+        if not rewrite_shard.get(sh, True) and old_m is not None:
+            files = list(old_m["files"]) + files  # append mode: runs accumulate
         m = {
             "shard": sh,
             "version": int(rows[0]["version"]),
@@ -372,6 +401,66 @@ def replay(
     }
 
 
+def compact(
+    lake_dir: str | Path,
+    salt_threshold: int = 512 * 1024 * 1024,
+) -> dict:
+    """Force full compaction: every shard with more than one run file
+    is LWW-merged into one file per salt. Commit protocol identical to
+    replay (new files invisible until the manifest lands); committed
+    segment bookkeeping is untouched."""
+    lake_dir = Path(lake_dir)
+    manifests = mf.read_all_manifests(lake_dir)
+    with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
+        num_shards = json.load(f)["num_shards"]
+
+    plans = []
+    for sh, m in manifests.items():
+        if len(m["files"]) <= 1:
+            continue
+        nbytes = sum(f["bytes"] for f in m["files"])
+        k = max(1, int(np.ceil(nbytes / salt_threshold)))
+        plans.append((sh, k, [f["path"] for f in m["files"]], nbytes))
+    plans.sort(key=lambda p: -p[3])
+    if not plans:
+        return {"shards_compacted": 0}
+
+    refs = []
+    for sh, k, files, _ in plans:
+        version = manifests[sh]["version"] + 1
+        for j in range(k):
+            refs.append(
+                _merge_task.remote(
+                    str(lake_dir), sh, j, k, manifests[sh].get("salt_k", 1),
+                    version, num_shards, [], files,
+                )
+            )
+    stats_rows = ray.get(refs)
+
+    by_shard: dict[int, list[dict]] = {}
+    for r in stats_rows:
+        by_shard.setdefault(int(r["shard"]), []).append(r)
+    new_manifests = dict(manifests)
+    for sh, rows in sorted(by_shard.items()):
+        m = dict(manifests[sh])
+        m["version"] = int(rows[0]["version"])
+        m["salt_k"] = int(rows[0]["k"])
+        m["files"] = sorted(
+            (
+                {"salt": int(r["salt"]), "path": r["path"],
+                 "rows": int(r["rows"]), "bytes": int(r["bytes"])}
+                for r in rows
+            ),
+            key=lambda f: f["salt"],
+        )
+        m["rows"] = sum(f["rows"] for f in m["files"])
+        m["bytes"] = sum(f["bytes"] for f in m["files"])
+        mf.atomic_write_json(m, mf.manifest_path(lake_dir, sh))
+        new_manifests[sh] = m
+    removed = _gc(lake_dir, new_manifests, keep_incoming=None)
+    return {"shards_compacted": len(by_shard), "gc_files": removed}
+
+
 def _gc(lake_dir: Path, manifests: dict[int, dict], keep_incoming: str | None) -> int:
     """Remove data files not referenced by any manifest and stale
     delta-run dirs (both are invisible to readers by construction)."""
@@ -409,19 +498,52 @@ def read_lake(
 ) -> ray.data.Dataset:
     """The committed lake as a streaming Dataset (tombstones filtered,
     transcript columns selected)."""
+    manifests = mf.read_all_manifests(lake_dir)
+    multi_run = any(len(m["files"]) > 1 and m.get("salt_k", 1) < len(m["files"])
+                    for m in manifests.values())
     files = lake_files(lake_dir)
     if not files:
         return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
-    ds = ray.data.read_parquet(files)
-    if not include_tombstones:
 
-        def finalize(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.not_equal(t["op"], pa.scalar("D")))
-            t = conform(t, TRANSCRIPT_SCHEMA)
-            return t.select(columns) if columns else t
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["op"], pa.scalar("D")))
+        t = conform(t, TRANSCRIPT_SCHEMA)
+        return t.select(columns) if columns else t
 
-        ds = ds.map_batches(finalize, batch_format="pyarrow")
-    return ds
+    if not multi_run:
+        # fully compacted: plain streaming read
+        ds = ray.data.read_parquet(files)
+        if not include_tombstones:
+            ds = ds.map_batches(finalize, batch_format="pyarrow")
+        return ds
+
+    # uncompacted LSM runs: LWW-merge per shard at read (one task per
+    # shard; the merge key never crosses shards so this is exact)
+    lake_str = str(Path(lake_dir))
+    shard_files = [
+        {"files": [str(Path(lake_str) / f["path"]) for f in m["files"]]}
+        for m in manifests.values()
+        if m["files"]
+    ]
+
+    def merge_read(batch) -> pa.Table:
+        from ..state.merge_index import lww_merge_sorted
+
+        out = []
+        for flist in batch["files"]:
+            t = pa.concat_tables(
+                [pq.read_table(f) for f in list(flist)],
+                promote_options="permissive",
+            )
+            t = lww_merge_sorted(t)
+            if not include_tombstones:
+                t = finalize(t)
+            out.append(t)
+        return pa.concat_tables(out, promote_options="permissive")
+
+    return ray.data.from_items(shard_files).map_batches(
+        merge_read, batch_format="pandas", batch_size=1
+    )
 
 
 def lake_final_table(lake_dir: str | Path) -> pa.Table:
@@ -429,8 +551,11 @@ def lake_final_table(lake_dir: str | Path) -> pa.Table:
     files = lake_files(lake_dir)
     if not files:
         return TRANSCRIPT_SCHEMA.empty_table()
+    from ..state.merge_index import lww_merge_sorted
+
     tabs = [pq.read_table(f) for f in files]
     t = pa.concat_tables(tabs, promote_options="permissive")
+    t = lww_merge_sorted(t)  # collapse uncompacted LSM runs
     t = t.filter(pc.not_equal(t["op"], pa.scalar("D")))
     t = conform(t, TRANSCRIPT_SCHEMA)
     order = pc.sort_indices(

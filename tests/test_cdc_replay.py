@@ -84,12 +84,18 @@ def test_salting_engages_and_preserves_state(ray_session, tmp_path):
     wal, lake, stats = _run(tmp_path, spec, salt_threshold=20_000)
     assert stats["salted_shards"] > 0, "hot-key scenario should trigger salting"
     assert lake_final_table(lake).equals(oracle_final_state(wal))
-    # re-salt path: second replay with different threshold over new segments
-    spec2 = WalSpec(n_convs=150, seed=15, zipf_s=1.2, dup_rate=0.05, mean_turns=14.0)
+
+
+def test_lake_refuses_foreign_wal_stream(ray_session, tmp_path):
+    """A lake tails one WAL stream; segment names are its offsets.
+    Replaying a different stream with colliding names must refuse
+    loudly, not silently no-op."""
+    spec = SCENARIOS["clean"]
+    wal, lake, _ = _run(tmp_path, spec)
     wal2 = tmp_path / "wal2"
-    write_wal(spec2, wal2, overwrite=True)
-    replay(wal2, lake, num_shards=8, salt_threshold=50_000_000)  # collapses salt
-    # lake now reflects both logs merged under LWW
+    write_wal(WalSpec(n_convs=100, seed=99), wal2, overwrite=True)
+    with pytest.raises(ValueError, match="tails WAL stream"):
+        replay(wal2, lake, num_shards=8)
 
 
 def test_schema_evolution_nullfills_tool(ray_session, tmp_path):
