@@ -62,9 +62,10 @@ def _cdc_query(sf_dir: str):
 def _catalog() -> dict[str, tuple]:
     from etl_geodata_pipeline_ray.pipelines.content_queries import CONTENT_QUERIES
     from etl_geodata_pipeline_ray.pipelines.extra_queries import EXTRA_QUERIES
+    from etl_geodata_pipeline_ray.pipelines.extra_queries2 import EXTRA_QUERIES2
     from etl_geodata_pipeline_ray.pipelines.queries import RELATIONAL_QUERIES
 
-    return {**RELATIONAL_QUERIES, **CONTENT_QUERIES, **EXTRA_QUERIES}
+    return {**RELATIONAL_QUERIES, **CONTENT_QUERIES, **EXTRA_QUERIES, **EXTRA_QUERIES2}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

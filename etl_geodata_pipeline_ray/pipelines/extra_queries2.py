@@ -1,0 +1,206 @@
+"""Third-wave catalog entries closing the SURVEY §2 inventory:
+scan-level predicate pushdown (S1), JSON sink/source round-trip
+(S4/K2), weighted redistribution (J4), window-bounded range join with
+gravity weighting (J5 + A7), quantile binning (O4 + A10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..stages.bucketed import bucketed_apply
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+# ---------------------------------------------------------------- q40
+def q40_pushdown_scan(sf_dir: str) -> pd.DataFrame:
+    """S1: predicate + column pushdown AT THE SCAN — the filter is a
+    pyarrow dataset expression evaluated by the parquet reader
+    (row-group pruning), not a post-read map (reference QuackOSM
+    tag+bbox pushdown, ``data_loader.py:97-108``)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 400_000.0),
+    )
+    out = (
+        ds.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    out["total"] = (out["total"] + 0.0).round(2)
+    return out
+
+
+Q40_SQL = """
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_totalprice > 400000.0 GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- q41
+def q41_weighted_redistribution(sf_dir: str) -> pd.DataFrame:
+    """J4 area-weighted redistribution re-shaped: distribute each
+    order's total price across its lineitems proportionally to
+    quantity, then re-aggregate by return flag — the reference's
+    overlay-intersection → weight-normalize → regroup pipeline
+    (``stuttgart_maps_all.py:710-723``)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def redistribute(g: pd.DataFrame) -> pd.DataFrame:
+        # weight-normalize within each order, then apportion its total
+        qty_sum = g.groupby("l_orderkey")["l_quantity"].transform("sum")
+        g = g.assign(part=g["o_totalprice"] * g["l_quantity"] / qty_sum)
+        out = g.groupby("l_returnflag", as_index=False).agg(
+            apportioned=("part", "sum"), n_lines=("part", "size")
+        )
+        return out
+
+    from ..stages.relational import hash_join
+
+    joined = hash_join(
+        li, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=16
+    )
+    partials = bucketed_apply(joined, ["l_orderkey"], redistribute, n_buckets=16)
+    out = (
+        partials.groupby("l_returnflag")
+        .aggregate(Sum("apportioned", alias_name="apportioned"), Sum("n_lines", alias_name="n_lines"))
+        .to_pandas()
+    )
+    out["apportioned"] = (out["apportioned"] + 0.0).round(2)
+    return out
+
+
+Q41_SQL = """
+WITH w AS (
+  SELECT l_returnflag,
+         o_totalprice * l_quantity /
+           sum(l_quantity) OVER (PARTITION BY l_orderkey) AS part
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT l_returnflag, round(sum(part), 2) AS apportioned, count(*) AS n_lines
+FROM w GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- q42
+def q42_gravity_range_join(sf_dir: str) -> pd.DataFrame:
+    """J5 range join + A7 gravity weighting: for each purchase, every
+    view by the same user within the preceding hour contributes
+    1/(gap_s + 50) — the reference's distance-decay accessibility sum
+    with a 50-unit floor (``stuttgart_maps_all.py:441-443``), time
+    standing in for distance. Bucketed on user; windowed pandas join
+    per bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def gravity(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g.event_type == "purchase"][["user_id", "ts"]]
+        v = g[g.event_type == "view"][["user_id", "ts"]].rename(columns={"ts": "vts"})
+        if not len(p) or not len(v):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "gravity": pd.Series([], dtype="float64"),
+                 "n_pairs": pd.Series([], dtype="int64")}
+            )
+        m = p.merge(v, on="user_id")
+        gap = (m["ts"] - m["vts"]).dt.total_seconds()
+        m = m[(gap >= 0) & (gap <= 3600.0)]
+        if not len(m):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "gravity": pd.Series([], dtype="float64"),
+                 "n_pairs": pd.Series([], dtype="int64")}
+            )
+        gap = (m["ts"] - m["vts"]).dt.total_seconds()
+        m = m.assign(w=1.0 / (gap + 50.0))
+        out = m.groupby("user_id", as_index=False).agg(
+            gravity=("w", "sum"), n_pairs=("w", "size")
+        )
+        out["gravity"] = (out["gravity"] + 0.0).round(6)
+        return out
+
+    return (
+        bucketed_apply(ds, ["user_id"], gravity, n_buckets=32)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+Q42_SQL = """
+SELECT p.user_id,
+       round(sum(1.0 / (epoch(p.ts - v.ts) + 50.0)), 6) AS gravity,
+       count(*) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND epoch(p.ts - v.ts) <= 3600.0
+GROUP BY p.user_id
+"""
+
+# ---------------------------------------------------------------- q43
+def q43_quantile_bins(sf_dir: str) -> pd.DataFrame:
+    """O4/A10: quantile binning — global quartile thresholds (two-pass:
+    the threshold estimate runs on the single pruned column; at
+    100 TB swap in a sample or KLL sketch), then a vectorized digitize
+    + count. Interpolation matches DuckDB ``quantile_cont``."""
+    col = (
+        _read(sf_dir, "orders", ["o_totalprice"]).to_pandas()["o_totalprice"].to_numpy()
+    )
+    qs = np.quantile(col, [0.25, 0.5, 0.75])
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.digitize(x, qs)  # 0..3
+        return pa.table({"bin": pa.array(b.astype(np.int64))})
+
+    out = (
+        ds.map_batches(binify, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out
+
+
+Q43_SQL = """
+WITH t AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q FROM orders)
+SELECT CASE WHEN o_totalprice < q[1] THEN 0
+            WHEN o_totalprice < q[2] THEN 1
+            WHEN o_totalprice < q[3] THEN 2
+            ELSE 3 END AS bin,
+       count(*) AS n
+FROM orders, t GROUP BY 1
+"""
+
+
+def q44_json_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """S4/K2: JSON sink + source round-trip (region table)."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="graft_json_")
+    try:
+        _read(sf_dir, "region").write_json(out)
+        back = ray.data.read_json(out)
+        return (
+            back.groupby("r_name").aggregate(Count(alias_name="n")).to_pandas()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+EXTRA_QUERIES2 = {
+    "q40_pushdown_scan": (q40_pushdown_scan, Q40_SQL),
+    "q41_weighted_redistribution": (q41_weighted_redistribution, Q41_SQL),
+    "q42_gravity_range_join": (q42_gravity_range_join, Q42_SQL),
+    "q43_quantile_bins": (q43_quantile_bins, Q43_SQL),
+    "q44_json_roundtrip": (q44_json_roundtrip, None),
+}
