@@ -115,9 +115,13 @@ def run_bench() -> dict:
     # and the scaling criterion is defined on the replay pipeline.
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
         for name in QUERY_NAMES:
-            t0 = time.perf_counter()
-            q[name](SF_DIR)
-            qtimes[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):  # min-of-2: same noise guard as the replay
+                t0 = time.perf_counter()
+                q[name](SF_DIR)
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            qtimes[name] = round(best, 3)
 
     ray.shutdown()
     return {

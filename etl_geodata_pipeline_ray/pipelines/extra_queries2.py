@@ -63,11 +63,9 @@ def q41_weighted_redistribution(sf_dir: str) -> pd.DataFrame:
         )
         return out
 
-    from ..stages.relational import hash_join
+    from ..stages.relational import smart_join
 
-    joined = hash_join(
-        li, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=16
-    )
+    joined = smart_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
     partials = bucketed_apply(joined, ["l_orderkey"], redistribute, n_buckets=16)
     out = (
         partials.groupby("l_returnflag")

@@ -27,6 +27,7 @@ from ..stages.categorize import cascade_categorize, regex_extract, rule_categori
 from ..stages.relational import (
     broadcast_join,
     hash_join,
+    smart_join,
     latest_per_key,
     minmax_normalize,
     semi_anti_join,
@@ -218,8 +219,8 @@ def q06_region_revenue(sf_dir: str) -> pd.DataFrame:
     (reference district ⋈ KPI merges ``population_pipeline_stuttgart.py:141``)."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = hash_join(
-        orders, customer, on=["o_custkey"], right_on=["c_custkey"], num_partitions=16
+    joined = smart_join(
+        orders, customer, on=["o_custkey"], right_on=["c_custkey"]
     )
     nation = _small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
     region = _small(sf_dir, "region", ["r_regionkey", "r_name"])
@@ -247,7 +248,7 @@ def q07_join_priority(sf_dir: str) -> pd.DataFrame:
     (reference point-in-polygon joins re-keyed to cells, ``make_maps.py:116-118``)."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=16)
+    joined = smart_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
     out = (
         joined.groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_lines"), Sum("l_extendedprice", alias_name="total_price"))

@@ -45,20 +45,26 @@ def shannon_entropy(
     (group,value) counts, then a tiny per-group entropy pass."""
     from .bucketed import bucketed_apply
 
-    counts = grouped_value_counts(ds, group, value)
-    cnt_col = "sum(cnt)"
     log = np.log if base == "e" else np.log2
 
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group, value]).to_pandas()
+        out = df.groupby([group, value], dropna=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def ent(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized across ALL groups in the bucket (C-level groupby)
-        tot = g.groupby(group)[cnt_col].transform("sum").to_numpy(dtype=np.float64)
-        p = g[cnt_col].to_numpy(dtype=np.float64) / tot
+        # merge partial counts AND compute entropy in one bucket kernel
+        # (single shuffle; vectorized across all groups in the bucket)
+        g = g.groupby([group, value], dropna=False, as_index=False)["cnt"].sum()
+        tot = g.groupby(group)["cnt"].transform("sum").to_numpy(dtype=np.float64)
+        p = g["cnt"].to_numpy(dtype=np.float64) / tot
         g = g.assign(_plogp=-p * log(p))
         out = g.groupby(group, as_index=False)["_plogp"].sum()
         out[output] = (out["_plogp"] + 0.0).round(ndigits)
         return out[[group, output]]
 
-    return bucketed_apply(counts, [group], ent, n_buckets=16)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_apply(partials, [group], ent, n_buckets=16)
 
 
 def distinct_count(
@@ -69,13 +75,16 @@ def distinct_count(
     pairs via partial counts, then count per group."""
     from .bucketed import bucketed_apply
 
-    pairs = grouped_value_counts(ds, group, value)
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group, value]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def cnt(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(group, as_index=False).size()
+        out = g.drop_duplicates().groupby(group, as_index=False).size()
         return out.rename(columns={"size": output})
 
-    return bucketed_apply(pairs, [group], cnt, n_buckets=16)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_apply(partials, [group], cnt, n_buckets=16)
 
 
 def weighted_mean(

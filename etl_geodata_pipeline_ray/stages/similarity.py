@@ -53,14 +53,11 @@ def cosine_topk(
     qref = ray.put(Q)
     qids = np.asarray(query_ids)
 
-    class LocalTopK:
-        def __init__(self):
-            self.Q = ray.get(qref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def local_topk(batch: pa.Table) -> pa.Table:
+            Q_ = ray.get(qref)  # object-store local: zero-copy after first task
             E = _normalize(_to_matrix(batch[emb_col], dim))
             ids = np.asarray(batch[id_col])
-            S = E @ self.Q.T  # (n, q)
+            S = E @ Q_.T  # (n, q)
             out_q, out_id, out_cos = [], [], []
             for j in range(S.shape[1]):
                 s = S[:, j]
@@ -88,7 +85,7 @@ def cosine_topk(
         return g
 
     return (
-        ds.map_batches(LocalTopK, batch_format="pyarrow", concurrency=(1, 8))
+        ds.map_batches(local_topk, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(finish, batch_format="pandas")
         .to_pandas()
@@ -146,20 +143,17 @@ def ivf_topk(
     cref = ray.put((C, Q, probe))
     qids = np.asarray(query_ids)
 
-    class ProbedTopK:
-        def __init__(self):
-            self.C, self.Q, self.probe = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def probed_topk(batch: pa.Table) -> pa.Table:
+            C_, Q_, probe_ = ray.get(cref)
             E = _normalize(_to_matrix(batch[emb_col], dim))
             ids = np.asarray(batch[id_col])
-            assign = (E @ self.C.T).argmax(axis=1)
+            assign = (E @ C_.T).argmax(axis=1)
             out_q, out_id, out_cos = [], [], []
-            for j in range(len(self.Q)):
-                m = np.isin(assign, self.probe[j]) & (ids != qids[j])
+            for j in range(len(Q_)):
+                m = np.isin(assign, probe_[j]) & (ids != qids[j])
                 if not m.any():
                     continue
-                s = E[m] @ self.Q[j]
+                s = E[m] @ Q_[j]
                 idsj = ids[m]
                 if len(s) > k:
                     part = np.argpartition(-s, k)[:k]
@@ -187,7 +181,7 @@ def ivf_topk(
         return g
 
     return (
-        ds.map_batches(ProbedTopK, batch_format="pyarrow", concurrency=(1, 8))
+        ds.map_batches(probed_topk, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(finish, batch_format="pandas")
         .to_pandas()
