@@ -128,3 +128,58 @@ def segment_offset(path: str | Path) -> int:
     """``seg-{start:012d}.parquet`` → start offset."""
     name = Path(path).name
     return int(name.split("-")[1].split(".")[0])
+
+
+class LakeLock:
+    """Advisory exclusive lock for replay/compact on one lake.
+
+    O_EXCL lock file under _manifests/; contains pid + timestamp.
+    Stale locks (older than ``stale_s``) are broken — a crashed writer
+    must not wedge the lake forever, and the commit protocol is safe
+    against the (rare) double-writer this allows: data files only
+    become visible via atomic manifest replaces, and the merge is
+    LWW-idempotent. Raises ``LakeLockedError`` on live contention.
+    """
+
+    def __init__(self, lake_dir, stale_s: float = 3600.0):
+        self.path = Path(lake_dir) / MANIFEST_DIR / "_replay.lock"
+        self.stale_s = stale_s
+
+    def __enter__(self):
+        import time
+
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        for _ in range(2):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        held = json.load(f)
+                    age = time.time() - held.get("ts", 0)
+                except (OSError, ValueError):
+                    held, age = {}, self.stale_s + 1
+                if age > self.stale_s:
+                    try:
+                        self.path.unlink()
+                    except OSError:
+                        pass
+                    continue
+                raise LakeLockedError(
+                    f"lake is locked by pid {held.get('pid')} "
+                    f"({age:.0f}s ago); concurrent replay/compact refused"
+                )
+        raise LakeLockedError("could not acquire lake lock")
+
+    def __exit__(self, *exc):
+        try:
+            self.path.unlink()
+        except OSError:
+            pass
+
+
+class LakeLockedError(RuntimeError):
+    pass

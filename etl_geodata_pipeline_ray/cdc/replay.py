@@ -248,6 +248,27 @@ def replay(
     if not pending:
         return {"committed_segments": 0, "shards_updated": 0, "salted_shards": 0}
 
+    with mf.LakeLock(lake_dir):
+        return _replay_locked(
+            lake_dir, pending, manifests, num_shards, salt_threshold,
+            batch_size, mode, compact_runs, timings,
+        )
+
+
+def _replay_locked(
+    lake_dir: Path,
+    pending: list[str],
+    manifests: dict[int, dict],
+    num_shards: int,
+    salt_threshold: int,
+    batch_size: int,
+    mode: str,
+    compact_runs: int,
+    timings: dict,
+) -> dict:
+    import time as _time
+
+    _t0 = _time.perf_counter()
     # ---------------- stage A: conform + route + partitioned delta write
     ds, unified = _read_unified(pending)
 
@@ -410,6 +431,11 @@ def compact(
     replay (new files invisible until the manifest lands); committed
     segment bookkeeping is untouched."""
     lake_dir = Path(lake_dir)
+    with mf.LakeLock(lake_dir):
+        return _compact_locked(lake_dir, salt_threshold)
+
+
+def _compact_locked(lake_dir: Path, salt_threshold: int) -> dict:
     manifests = mf.read_all_manifests(lake_dir)
     with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
         num_shards = json.load(f)["num_shards"]

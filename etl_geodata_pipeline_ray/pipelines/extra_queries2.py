@@ -202,3 +202,36 @@ EXTRA_QUERIES2 = {
     "q43_quantile_bins": (q43_quantile_bins, Q43_SQL),
     "q44_json_roundtrip": (q44_json_roundtrip, None),
 }
+
+
+# ---------------------------------------------------------------- q45
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def q45_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish subword-style token counting (task brief: 'whitespace +
+    a BPE-ish regex'): GPT-2-flavored pretokenizer pattern, RE2-safe so
+    Arrow and DuckDB agree byte-for-byte. One vectorized regex kernel
+    per batch."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.fill_null(t["text"], ""), _BPE_PATTERN)
+        return pa.table({"lang": t["lang"], "n_bpe": pc.cast(n, pa.int64())})
+
+    return (
+        ds.map_batches(count, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_bpe", alias_name="total_bpe_tokens"), Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+
+
+Q45_SQL = r"""
+SELECT lang,
+       sum(length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS total_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+EXTRA_QUERIES2["q45_bpe_tokens"] = (q45_bpe_tokens, Q45_SQL)

@@ -146,3 +146,83 @@ def test_tombstones_prevent_resurrection(ray_session, tmp_path):
     seg(wal / "seg-000000000002.parquet", [e("U", 1, "stale")])
     replay(wal, lake, num_shards=4)
     assert lake_final_table(lake).num_rows == 0, "stale update resurrected a deleted row"
+
+
+def test_schema_widening_across_segments(ray_session, tmp_path):
+    """Type WIDENING (not just column addition): a segment written with
+    int16 turn_idx / plain-string text unifies with the full schema and
+    replays byte-exact after casts."""
+    import pyarrow as pa
+
+    from etl_geodata_pipeline_ray.cdc.schema import EVENT_SCHEMA
+
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    wal.mkdir()
+
+    narrow = pa.schema(
+        [
+            pa.field("op", pa.string()),
+            pa.field("op_seq", pa.int32()),          # narrower than int64
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int16()),        # narrower than int32
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),           # string vs large_string
+        ]
+    )
+    t0 = pa.table(
+        {
+            "op": ["I", "I"], "op_seq": pa.array([0, 1], pa.int32()),
+            "ts": pa.array([1_700_000_000_000_000, 1_700_000_000_000_001], pa.timestamp("us")),
+            "conv_id": ["c1", "c1"], "turn_idx": pa.array([0, 1], pa.int16()),
+            "role": ["system", "user"], "text": ["hello", "world"],
+        },
+        schema=narrow,
+    )
+    pq.write_table(t0, wal / "seg-000000000000.parquet")
+    t1 = pa.table(
+        {
+            "op": ["U"], "op_seq": pa.array([2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_002], pa.timestamp("us")),
+            "conv_id": ["c1"], "turn_idx": pa.array([1], pa.int32()),
+            "role": ["user"], "text": pa.array(["world v2"], pa.large_string()),
+            "tool": pa.array([None], pa.string()),
+        },
+        schema=EVENT_SCHEMA,
+    )
+    pq.write_table(t1, wal / "seg-000000000002.parquet")
+
+    replay(wal, lake, num_shards=4)
+    final = lake_final_table(lake)
+    assert final.num_rows == 2
+    assert final["text"].to_pylist() == ["hello", "world v2"]
+    assert final.schema.field("turn_idx").type == pa.int32()
+    assert final.schema.field("text").type == pa.large_string()
+
+
+def test_concurrent_replay_refused(ray_session, tmp_path):
+    """A live lock on the lake makes a second replay fail loudly
+    (stale locks are broken after stale_s so a crashed writer cannot
+    wedge the lake)."""
+    from etl_geodata_pipeline_ray.cdc import manifest as mf
+    from etl_geodata_pipeline_ray.cdc.manifest import LakeLockedError
+
+    spec = SCENARIOS["clean"]
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    write_wal(spec, wal, overwrite=True)
+    replay(wal, lake, num_shards=4, max_segments=1)
+
+    with mf.LakeLock(lake):  # simulate another live writer
+        with pytest.raises(LakeLockedError, match="locked by pid"):
+            replay(wal, lake, num_shards=4)
+
+    # lock released → replay proceeds; stale-lock break path:
+    lock = mf.LakeLock(lake, stale_s=0.0)
+    (lake / "_manifests" / "_replay.lock").write_text('{"pid": 1, "ts": 0}')
+    with lock:  # stale lock broken silently
+        pass
+    stats = replay(wal, lake, num_shards=4)
+    assert stats["committed_segments"] >= 1
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
