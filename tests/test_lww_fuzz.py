@@ -1,0 +1,63 @@
+"""Property-based fuzz of the LWW merge semantics: ANY random batch of
+I/U/D events over a tiny keyspace — duplicated, shuffled, with ts
+ties — must replay to exactly the oracle state. Catches tie-break and
+tombstone edge cases the seeded scenarios may miss."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_geodata_pipeline_ray.cdc.oracle import oracle_final_state
+from etl_geodata_pipeline_ray.cdc.replay import lake_final_table, replay
+from etl_geodata_pipeline_ray.cdc.schema import EVENT_SCHEMA
+
+_BASE_TS = 1_700_000_000_000_000
+
+event_strategy = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(["I", "U", "D"]),
+        "conv_id": st.sampled_from(["a", "b", "c"]),
+        "turn_idx": st.integers(0, 2),
+        # small ts range on purpose → frequent ties, op_seq tiebreaks
+        "ts_off": st.integers(0, 4),
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(event_strategy, min_size=1, max_size=40),
+    split=st.integers(1, 39),
+)
+def test_random_event_log_matches_oracle(ray_session, tmp_path_factory, events, split):
+    tmp = tmp_path_factory.mktemp("fuzz")
+    wal, lake = tmp / "wal", tmp / "lake"
+    wal.mkdir()
+
+    rows = {k: [] for k in EVENT_SCHEMA.names}
+    for seq, e in enumerate(events):
+        rows["op"].append(e["op"])
+        rows["op_seq"].append(seq)
+        rows["ts"].append(_BASE_TS + e["ts_off"])
+        rows["conv_id"].append(e["conv_id"])
+        rows["turn_idx"].append(e["turn_idx"])
+        is_del = e["op"] == "D"
+        rows["role"].append(None if is_del else "user")
+        rows["text"].append(None if is_del else f"txt-{e['conv_id']}-{e['turn_idx']}-{seq}")
+        rows["tool"].append(None)
+    table = pa.table(rows, schema=EVENT_SCHEMA)
+
+    cut = min(split, table.num_rows)
+    pq.write_table(table.slice(0, cut), wal / "seg-000000000000.parquet")
+    if table.num_rows > cut:
+        pq.write_table(table.slice(cut), wal / f"seg-{cut:012d}.parquet")
+
+    replay(wal, lake, num_shards=4)
+    eng = lake_final_table(lake)
+    ora = oracle_final_state(wal)
+    assert eng.equals(ora), f"\nengine:\n{eng.to_pandas()}\noracle:\n{ora.to_pandas()}"
