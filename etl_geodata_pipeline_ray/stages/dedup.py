@@ -169,6 +169,7 @@ def minhash_dedup_groups(
     threshold: float = 0.8,
     num_perm: int = 128,
     num_bands: int = 32,
+    distributed_cc: bool = False,
 ) -> pd.DataFrame:
     """(id, group) for every doc in a near-duplicate cluster; group =
     min id of the connected component (signature-estimated Jaccard ≥
@@ -187,6 +188,13 @@ def minhash_dedup_groups(
         jac = float(np.mean(np.asarray(sx) == np.asarray(sy)))
         if jac >= threshold:
             keep.append((x, y))
+    if distributed_cc and keep:
+        # scale path: iterative min-label propagation (stages/graph.py)
+        from .graph import connected_components
+
+        cc = connected_components(pd.DataFrame(keep, columns=["a", "b"]))
+        return cc.rename(columns={"node": id_col, "component": "group"}).astype(np.int64)
+
     # union-find over verified edges (candidate set ≪ corpus)
     parent: dict = {}
 

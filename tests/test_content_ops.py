@@ -170,3 +170,25 @@ def test_multimodal_decode_plumbing(ray_session):
     assert (out.sort_values("media_id")["dec_width"].to_numpy() == src["width"].to_numpy()).all()
     with pytest.raises(NotImplementedError):
         DecodeImage(mode="real")._features(b"GIMG\x08\x00\x08\x00\x03")
+
+
+def test_distributed_connected_components(ray_session):
+    import pandas as pd
+
+    from etl_geodata_pipeline_ray.stages.graph import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12, isolated pair 20-21
+    edges = pd.DataFrame(
+        {"a": [1, 2, 3, 10, 11, 10, 20], "b": [2, 3, 4, 11, 12, 12, 21]}
+    )
+    cc = connected_components(edges)
+    got = dict(zip(cc["node"], cc["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_minhash_distributed_cc_matches_unionfind(docs_ds):
+    from etl_geodata_pipeline_ray.stages.dedup import minhash_dedup_groups
+
+    uf = minhash_dedup_groups(docs_ds, threshold=0.7)
+    cc = minhash_dedup_groups(docs_ds, threshold=0.7, distributed_cc=True)
+    assert sorted(map(tuple, uf.values.tolist())) == sorted(map(tuple, cc.values.tolist()))
