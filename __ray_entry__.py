@@ -73,7 +73,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name: fn for name, (fn, _sql) in _catalog().items()
     }
     out["q50_cdc_replay_transcripts"] = _cdc_query
+    out["q51_lake_kpis"] = _lake_kpi_query
     return out
+
+
+def _lake_kpi_query(sf_dir: str):
+    """KPI layer over the transcript lake (SURVEY §7 step 8): replay a
+    deterministic WAL, then per-conv turn counts + entropy + role-
+    weighted engagement over the committed lake (rows-only check)."""
+    from etl_geodata_pipeline_ray.pipelines import lake_queries as LQ
+
+    _cdc_query(sf_dir)  # ensures the lake exists (and re-asserts oracle equality)
+    n = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 8000}.get(Path(sf_dir).name, 1000)
+    from etl_geodata_pipeline_ray.cdc.generator import WalSpec
+
+    spec = WalSpec(
+        n_convs=n, seed=42, dup_rate=0.08, shuffle_window=200,
+        schema_change_frac=0.6, zipf_s=1.1, seg_size=max(2000, n * 4),
+    )
+    lake = Path("/tmp/graft_cdc") / spec.key() / "lake"
+    counts = LQ.conv_turn_counts(lake)
+    ent = LQ.conv_role_entropy(lake)
+    eng = LQ.conv_engagement_score(lake)
+    out = counts.merge(ent, on="conv_id").merge(eng, on="conv_id")
+    return out.sort_values("conv_id").reset_index(drop=True)
 
 
 def oracle_sql() -> dict[str, str]:
