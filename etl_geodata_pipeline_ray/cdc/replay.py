@@ -128,6 +128,45 @@ def _read_unified(pending: list[str]) -> tuple[ray.data.Dataset, pa.Schema]:
 
 
 @ray.remote
+def _salt_split_task(
+    delta_files: list[str], k: int, num_shards: int, out_dir: str
+) -> list[list[str]]:
+    """Pre-partition a hot shard's delta by salt in ONE read, so the k
+    merge tasks each read only their sub-keyspace (k× → 2× read
+    amplification; measured: in-task filtering made salting a net loss
+    on fat shards)."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in delta_files], promote_options="permissive"
+    )
+    if "merge_group" in t.column_names:
+        t = t.drop_columns(["merge_group"])
+    slt = salt_of(hash_u64(t["conv_id"]), num_shards, k)
+    order = np.argsort(slt, kind="stable")
+    t = t.take(pa.array(order))
+    bounds = np.searchsorted(slt[order], np.arange(k + 1))
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths: list[list[str]] = []
+    for j in range(k):
+        lo, hi = int(bounds[j]), int(bounds[j + 1])
+        if hi > lo:
+            p = out / f"salt-{j:03d}.parquet"
+            pq.write_table(
+                t.slice(lo, hi - lo), p, compression="NONE", use_dictionary=False
+            )
+            paths.append([str(p)])
+        else:
+            paths.append([])
+    return paths
+
+
+@ray.remote
 def _merge_task(
     lake_dir: str,
     shard: int,
@@ -138,6 +177,7 @@ def _merge_task(
     num_shards: int,
     delta_files: list[str],
     base_files: list[str],
+    pre_salted: bool = False,
 ) -> dict:
     """Stage-B compaction for one (shard, salt) keyspace: delta run +
     base → LWW (tombstones retained) → sorted → atomic write."""
@@ -156,7 +196,7 @@ def _merge_task(
         delta = pa.concat_tables(tabs, promote_options="permissive")
         if "merge_group" in delta.column_names:
             delta = delta.drop_columns(["merge_group"])
-        if k > 1:
+        if k > 1 and not pre_salted:
             h = hash_u64(delta["conv_id"])
             delta = delta.filter(pa.array(salt_of(h, num_shards, k) == salt))
 
@@ -333,12 +373,23 @@ def _replay_locked(
 
     timings["plan"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
+    # hot shards: pre-split their delta by salt in one pass each
+    split_refs = {
+        sh: _salt_split_task.remote(
+            files, k, num_shards, str(delta_root / f"salted-{sh:05d}")
+        )
+        for sh, k, files in plans
+        if k > 1
+    }
+    split_files = {sh: ray.get(r) for sh, r in split_refs.items()}
+
     refs = []
     rewrite_shard: dict[int, bool] = {}
     for sh, k, files in plans:
         rewrite = mode == "rewrite" or len(old_files.get(sh, [])) + k > compact_runs
         rewrite_shard[sh] = rewrite
         for j in range(k):
+            delta_j = split_files[sh][j] if k > 1 else files
             refs.append(
                 _merge_task.remote(
                     str(lake_dir),
@@ -348,8 +399,9 @@ def _replay_locked(
                     old_k.get(sh, 1),
                     new_version.get(sh, 1),
                     num_shards,
-                    files,
+                    delta_j,
                     old_files.get(sh, []) if rewrite else [],
+                    pre_salted=k > 1,
                 )
             )
     stats_rows = ray.get(refs)
