@@ -42,7 +42,7 @@ def q21_token_stats(sf_dir: str) -> pd.DataFrame:
 
 Q21_SQL = r"""
 SELECT lang,
-       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY 1
 """

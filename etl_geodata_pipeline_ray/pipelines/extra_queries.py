@@ -42,7 +42,7 @@ def q33_json_extract(sf_dir: str) -> pd.DataFrame:
 
 Q33_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY 1
 """
@@ -146,7 +146,7 @@ def q36_normalized_contains(sf_dir: str) -> pd.DataFrame:
 
 Q36_SQL = """
 SELECT lang,
-       sum(CASE WHEN contains(lower(trim(text)), 'merge') THEN 1 ELSE 0 END) AS n_mentioning,
+       CAST(sum(CASE WHEN contains(lower(trim(text)), 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS n_mentioning,
        count(*) AS n_docs
 FROM documents GROUP BY 1
 """

@@ -229,7 +229,7 @@ def q45_bpe_tokens(sf_dir: str) -> pd.DataFrame:
 
 Q45_SQL = r"""
 SELECT lang,
-       sum(length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS total_bpe_tokens,
+       CAST(sum(length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT) AS total_bpe_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY 1
 """

@@ -466,7 +466,7 @@ def q18_user_sessions(sf_dir: str) -> pd.DataFrame:
 
 Q18_SQL = """
 SELECT user_id,
-       sum(CASE WHEN prev IS NULL OR epoch(ts - prev) > 3600.0 THEN 1 ELSE 0 END) AS n_sessions
+       CAST(sum(CASE WHEN prev IS NULL OR epoch(ts - prev) > 3600.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)
 GROUP BY 1
 """
