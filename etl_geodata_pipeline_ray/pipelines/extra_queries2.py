@@ -195,12 +195,17 @@ def q44_json_roundtrip(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+Q44_SQL = """
+SELECT r_name, count(*) AS n FROM region GROUP BY 1
+"""
+
+
 EXTRA_QUERIES2 = {
     "q40_pushdown_scan": (q40_pushdown_scan, Q40_SQL),
     "q41_weighted_redistribution": (q41_weighted_redistribution, Q41_SQL),
     "q42_gravity_range_join": (q42_gravity_range_join, Q42_SQL),
     "q43_quantile_bins": (q43_quantile_bins, Q43_SQL),
-    "q44_json_roundtrip": (q44_json_roundtrip, None),
+    "q44_json_roundtrip": (q44_json_roundtrip, Q44_SQL),
 }
 
 

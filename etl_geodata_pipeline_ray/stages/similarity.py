@@ -130,13 +130,16 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 4,
     n_centroids: int = 16,
+    spill: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = 64,
 ) -> pd.DataFrame:
     """IVF approximate top-k: only batches' vectors assigned to each
     query's ``nprobe`` nearest centroids are scored. Same output shape
-    as ``cosine_topk``."""
+    as ``cosine_topk``. ``spill`` multi-assigns each data vector to its
+    top-s cells (standard IVF spilling) — cell-boundary neighbors stay
+    findable on diffuse data at the cost of an s× larger index."""
     C = train_centroids(ds, n_centroids=n_centroids, emb_col=emb_col, dim=dim)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
@@ -147,10 +150,12 @@ def ivf_topk(
             C_, Q_, probe_ = ray.get(cref)
             E = _normalize(_to_matrix(batch[emb_col], dim))
             ids = np.asarray(batch[id_col])
-            assign = (E @ C_.T).argmax(axis=1)
+            sims = E @ C_.T
+            s_ = min(spill, sims.shape[1])
+            assign = np.argpartition(-sims, s_ - 1, axis=1)[:, :s_]  # (n, spill)
             out_q, out_id, out_cos = [], [], []
             for j in range(len(Q_)):
-                m = np.isin(assign, probe_[j]) & (ids != qids[j])
+                m = np.isin(assign, probe_[j]).any(axis=1) & (ids != qids[j])
                 if not m.any():
                     continue
                 s = E[m] @ Q_[j]

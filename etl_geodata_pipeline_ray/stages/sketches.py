@@ -73,6 +73,36 @@ class HyperLogLog:
         return float(est)
 
 
+def hll_aggregate(value: str, p: int = 12, alias_name: str = "approx_distinct"):
+    """HyperLogLog as a composable ``ray.data.aggregate.AggregateFn`` —
+    drops into any ``groupby(...).aggregate(...)`` alongside Count/Sum,
+    like the reference's ``nunique`` (``comprehensive_maps_stuttgart.py:
+    357-360``) but mergeable. Accumulator state = one 2^p uint8
+    register array per group; block accumulation is one vectorized
+    hash pass; merge = elementwise max (associative + commutative, so
+    task retries and re-partitioning are harmless)."""
+    from ray.data.aggregate import AggregateFn
+    from ray.data.block import BlockAccessor
+
+    hll = HyperLogLog(p)
+
+    def accumulate_block(regs: np.ndarray, block) -> np.ndarray:
+        vals = BlockAccessor.for_block(block).to_pandas()[value].to_numpy()
+        if not len(vals):
+            return regs
+        return HyperLogLog.merge(np.asarray(regs, dtype=np.uint8), hll.registers(vals))
+
+    return AggregateFn(
+        init=lambda k: np.zeros(hll.m, dtype=np.uint8),
+        merge=lambda a, b: HyperLogLog.merge(
+            np.asarray(a, dtype=np.uint8), np.asarray(b, dtype=np.uint8)
+        ),
+        accumulate_block=accumulate_block,
+        finalize=lambda regs: int(round(hll.estimate(np.asarray(regs, dtype=np.uint8)))),
+        name=alias_name,
+    )
+
+
 def approx_distinct(
     ds: ray.data.Dataset,
     group: str,
@@ -80,29 +110,12 @@ def approx_distinct(
     p: int = 12,
     output: str = "approx_distinct",
 ) -> pd.DataFrame:
-    """Approximate distinct-count per group: per-batch HLL registers →
-    one register-merge groupby → estimates. Shuffle volume = one 2^p
-    byte array per (group, batch), independent of row count."""
-    hll = HyperLogLog(p)
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for g, sub in batch.groupby(group):
-            rows.append({group: g, "_regs": hll.registers(sub[value].to_numpy())})
-        return pd.DataFrame(rows)
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        regs = np.zeros(hll.m, dtype=np.uint8)
-        for r in g["_regs"]:
-            regs = HyperLogLog.merge(regs, np.asarray(r, dtype=np.uint8))
-        return pd.DataFrame(
-            {group: [g[group].iloc[0]], output: [round(hll.estimate(regs))]}
-        )
-
+    """Approximate distinct-count per group via the composable
+    ``hll_aggregate``: shuffle volume = one 2^p byte register array per
+    (group, block), independent of row count."""
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(group)
-        .map_groups(merge, batch_format="pandas")
+        ds.groupby(group)
+        .aggregate(hll_aggregate(value, p=p, alias_name=output))
         .to_pandas()
         .sort_values(group)
         .reset_index(drop=True)
