@@ -121,11 +121,33 @@ QUALIFY row_number() OVER (PARTITION BY query_id
     ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])) DESC, vec_id) <= 10
 """
 
-# ----------------------------------------------- rows-only entries --
 def q25_minhash_near_dupes(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup clusters (sig-estimated Jaccard ≥ 0.8)."""
+    """MinHash+LSH near-dup PAIRS with exact word-3-shingle Jaccard ≥
+    0.8: LSH banding proposes candidates distributed, verification is
+    a distributed shuffle_join back to texts + exact set Jaccard. The
+    oracle brute-forces the same exact Jaccard in SQL — a full
+    value-hash check of candidate recall AND verification."""
+    from ..stages.dedup import minhash_near_dup_pairs
+
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return minhash_dedup_groups(ds, threshold=0.8)
+    out = minhash_near_dup_pairs(ds, threshold=0.8).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q25_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+s AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        END) AS sh
+      FROM w)
+SELECT a, b, jac AS jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jac
+  FROM s x JOIN s y ON x.doc_id < y.doc_id)
+WHERE jac >= 0.8 ORDER BY 1, 2
+"""
 
 
 def q26_simhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -186,8 +208,27 @@ def q28_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 def q29_embedding_near_dupes(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
-    return embedding_near_dupes(_embs(sf_dir), threshold=0.95)
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH
+    (auto-tuned OR-construction) + distributed exact-cosine verify.
+    Threshold 0.45 is the non-vacuous setting for this synthetic
+    corpus (max pairwise cosine ≈ 0.6; nothing exists at the 0.95
+    dedup threshold — the brute-force oracle proves the empty result
+    there too). The oracle brute-forces all pairs in SQL, so the
+    value-hash checks LSH recall AND the verification kernel."""
+    out = embedding_near_dupes(_embs(sf_dir), threshold=0.45).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q29_SQL = """
+SELECT a, b, c AS cos FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                      CAST(y.embedding AS DOUBLE[])), 4) AS c,
+         list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                CAST(y.embedding AS DOUBLE[])) AS craw
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+WHERE craw >= 0.45 ORDER BY 1, 2
+"""
 
 
 def q30_ivf_recall(sf_dir: str) -> pd.DataFrame:
@@ -216,6 +257,43 @@ WHERE vec_id IN (0, 1, 2) ORDER BY 1
 """
 
 
+def q48_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact word-3-gram Jaccard pairs WITHIN a blocking key (lang) —
+    the exact counterpart MinHash approximates (D-family; catalog
+    entry for ``stages.dedup.ngram_jaccard_pairs``). The oracle
+    recomputes the same blocked exact Jaccard in SQL."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    return ngram_jaccard_pairs(ds, block_col="lang", n=3, threshold=0.5)
+
+
+Q48_SQL = r"""
+WITH w AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+        list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+          ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        END) AS sh
+      FROM w)
+SELECT a, b, jac AS jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jac,
+         len(list_intersect(x.sh, y.sh)) AS inter
+  FROM s x JOIN s y ON x.lang = y.lang AND x.doc_id < y.doc_id)
+WHERE jac >= 0.5 AND inter > 0 ORDER BY 1, 2
+"""
+
+
+def q49_minhash_clusters(sf_dir: str) -> pd.DataFrame:
+    """MinHash near-duplicate CLUSTERS: exact-Jaccard-verified edges →
+    Dataset-resident min-label-propagation connected components
+    (rows-only: transitive closure is not SQL-expressible; the edge
+    set itself is oracle-checked by q25)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return minhash_dedup_groups(ds, threshold=0.8)
+
+
 def q31_media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthetic binary media → actor-pool decode
     stub → feature table (payload dropped post-decode)."""
@@ -238,12 +316,14 @@ CONTENT_QUERIES = {
     "q22_doc_quality": (q22_doc_quality, Q22_SQL),
     "q23_exact_dedup": (q23_exact_dedup, Q23_SQL),
     "q24_ann_cosine": (q24_ann_cosine, Q24_SQL),
-    "q25_minhash_near_dupes": (q25_minhash_near_dupes, None),
+    "q25_minhash_near_dupes": (q25_minhash_near_dupes, Q25_SQL),
     "q26_simhash_pairs": (q26_simhash_pairs, None),
     "q27_langid": (q27_langid, Q27_SQL),
     "q28_fingerprints": (q28_fingerprints, None),
-    "q29_embedding_near_dupes": (q29_embedding_near_dupes, None),
+    "q29_embedding_near_dupes": (q29_embedding_near_dupes, Q29_SQL),
     "q30_ivf_recall": (q30_ivf_recall, Q30_SQL),
     "q31_media_features": (q31_media_features, None),
     "q32_frame_sampling": (q32_frame_sampling, None),
+    "q48_ngram_jaccard": (q48_ngram_jaccard, Q48_SQL),
+    "q49_minhash_clusters": (q49_minhash_clusters, None),
 }

@@ -6,15 +6,20 @@ Scale shapes:
                  groupby keep-first (the reference's D1 set-dedup shape,
                  ``utils/h3_helpers.py:64-75``).
   * MinHash    — per-batch vectorized shingle→signature (Broder 1997),
-                 explode to (band, band_hash, doc_id) rows, bucket
-                 groupby; candidate verification from signatures; the
-                 candidate graph is assumed ≪ corpus and resolved with
-                 driver-side union-find (documented assumption — at
-                 100 TB swap in iterative min-label propagation).
+                 explode to (band, band_hash, doc_id) rows, one
+                 bucketed shuffle to propose candidate pairs
+                 (C-level all-pairs per bucket, capped), distributed
+                 pair dedup, then DISTRIBUTED exact-Jaccard
+                 verification (shuffle_join pairs back to texts) and
+                 Dataset-resident connected components — no driver
+                 gather anywhere on the default path.
   * SimHash    — 64-bit sign-sum sketch (Charikar 2002), banded into
-                 4×16-bit exact-match buckets, Hamming-verified.
-  * embedding  — random-hyperplane LSH buckets then within-bucket
-                 cosine (exact within bucket; brute-force fallback).
+                 4×16-bit exact-match buckets; verification is one
+                 vectorized XOR + unpackbits popcount per bucket.
+  * embedding  — banded random-hyperplane LSH (OR-construction
+                 auto-tuned from the threshold), distributed dedup +
+                 shuffle_join back to vectors, vectorized cosine
+                 verify.
 """
 
 from __future__ import annotations
@@ -112,15 +117,58 @@ def _band_rows(
     )
 
 
-def minhash_candidates(
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+    )
+
+
+def _pairs_from_buckets(
+    df: pd.DataFrame, key_cols: list[str], id_col: str, cap: int = 256
+) -> pd.DataFrame:
+    """All (a < b) pairs within each bucket group, fully C-level: a
+    pandas self-merge for groups ≤ ``cap`` members, and a sorted
+    adjacent-chain fallback (linear, connectivity-preserving before
+    verification) for degenerate oversized buckets."""
+    df = df[key_cols + [id_col]].drop_duplicates()
+    sizes = df.groupby(key_cols)[id_col].transform("size")
+    small = df[(sizes >= 2) & (sizes <= cap)]
+    big = df[sizes > cap]
+    outs = []
+    if len(small):
+        m = small.merge(small, on=key_cols)
+        xa, xb = m[id_col + "_x"].to_numpy(), m[id_col + "_y"].to_numpy()
+        keep = xa < xb
+        outs.append(pd.DataFrame({"a": xa[keep], "b": xb[keep]}))
+    if len(big):
+        b = big.sort_values(key_cols + [id_col], kind="stable")
+        nxt = b.groupby(key_cols)[id_col].shift(-1)
+        mm = nxt.notna().to_numpy()
+        outs.append(
+            pd.DataFrame(
+                {"a": b[id_col].to_numpy()[mm], "b": nxt.to_numpy()[mm].astype(np.int64)}
+            )
+        )
+    if not outs:
+        return _empty_pairs()
+    out = pd.concat(outs, ignore_index=True).drop_duplicates()
+    return out.astype({"a": np.int64, "b": np.int64})
+
+
+def minhash_candidate_pairs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     num_perm: int = 128,
     num_bands: int = 32,
-) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Returns (signatures, candidate_pairs) — signatures as a small
-    driver frame for verification. Candidate discovery is fully
-    distributed; only candidates + their signatures come to the driver."""
+    bucket_cap: int = 256,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed LSH candidate generation: signatures → band rows →
+    one bucketed shuffle on (band, band_hash) with a vectorized
+    all-pairs kernel → one bucketed dedup shuffle on (a, b). Nothing
+    touches the driver."""
+    from .bucketed import bucketed_apply
+
     rows_per_band = num_perm // num_bands
     sigs_ds = ds.map_batches(
         MinHasher,
@@ -128,39 +176,78 @@ def minhash_candidates(
         batch_format="pandas",
         concurrency=(1, 8),
     )
-
     band_ds = sigs_ds.map_batches(
         lambda b: _band_rows(b, num_bands, rows_per_band, id_col), batch_format="pandas"
     )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        # pair every member with the bucket min — enough to connect the
-        # component without quadratic pair emission
-        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
-
-    pairs = (
-        band_ds.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    pairs = bucketed_apply(
+        band_ds,
+        ["band", "band_hash"],
+        lambda g: _pairs_from_buckets(g, ["band", "band_hash"], id_col, cap=bucket_cap),
+        n_buckets=n_buckets,
     )
-    if len(pairs):
-        cand_ids = np.unique(np.concatenate([pairs["a"], pairs["b"]]))
-        import ray as _ray
+    return bucketed_apply(
+        pairs, ["a", "b"], lambda g: g.drop_duplicates(), n_buckets=n_buckets
+    )
 
-        ref = _ray.put(set(cand_ids.tolist()))
 
-        def only_cands(b: pd.DataFrame) -> pd.DataFrame:
-            s = _ray.get(ref)
-            return b[b[id_col].isin(s)][[id_col, "_sig"]]
+def _shingle_set(text: str, k: int) -> set:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else {""}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
-        sigs = sigs_ds.map_batches(only_cands, batch_format="pandas").to_pandas()
-    else:
-        sigs = pd.DataFrame({id_col: [], "_sig": []})
-    return sigs, pairs
+
+def minhash_near_dup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs with EXACT word-shingle Jaccard ≥
+    threshold: LSH banding proposes candidates (distributed), then the
+    candidate pairs are joined back to their texts with two
+    ``shuffle_join`` passes and verified with one O(doc_len) set kernel
+    per pair — verification is distributed over batches, never a
+    driver loop. Returns a Dataset of (a, b, jaccard)."""
+    from .relational import shuffle_join, shuffle_join_schema
+
+    docs = ds.select_columns([id_col, text_col])
+    pairs = minhash_candidate_pairs(
+        ds, id_col=id_col, num_perm=num_perm, num_bands=num_bands
+    )
+    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    docs_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string())])
+    j1 = shuffle_join(
+        pairs, docs, on=["a"], right_on=[id_col], suffix="_a",
+        left_schema=pairs_schema, right_schema=docs_schema,
+    )
+    j1_schema = shuffle_join_schema(pairs_schema, docs_schema, ["a"], [id_col], "_a")
+    j2 = shuffle_join(
+        j1, docs, on=["b"], right_on=[id_col], suffix="_b",
+        left_schema=j1_schema, right_schema=docs_schema,
+    )
+    tcol_a, tcol_b = text_col, text_col + "_b"
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, js = [], [], []
+        for a, b, x, y in zip(batch["a"], batch["b"], batch[tcol_a], batch[tcol_b]):
+            sa, sb = _shingle_set(x, shingle_k), _shingle_set(y, shingle_k)
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                out_a.append(a), out_b.append(b), js.append(round(jac, 4))
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype=np.int64),
+                "b": pd.Series(out_b, dtype=np.int64),
+                "jaccard": pd.Series(js, dtype=np.float64),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pandas")
 
 
 def minhash_dedup_groups(
@@ -169,33 +256,28 @@ def minhash_dedup_groups(
     threshold: float = 0.8,
     num_perm: int = 128,
     num_bands: int = 32,
-    distributed_cc: bool = False,
+    distributed_cc: bool = True,
 ) -> pd.DataFrame:
     """(id, group) for every doc in a near-duplicate cluster; group =
-    min id of the connected component (signature-estimated Jaccard ≥
-    threshold edges)."""
-    sigs, pairs = minhash_candidates(ds, id_col, num_perm, num_bands)
-    if not len(pairs):
-        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64), "group": pd.Series([], dtype=np.int64)})
-    sig_map = dict(zip(sigs[id_col].to_numpy(), sigs["_sig"].to_numpy()))
-    a = pairs["a"].to_numpy()
-    b = pairs["b"].to_numpy()
-    keep = []
-    for x, y in zip(a, b):
-        sx, sy = sig_map.get(x), sig_map.get(y)
-        if sx is None or sy is None:
-            continue
-        jac = float(np.mean(np.asarray(sx) == np.asarray(sy)))
-        if jac >= threshold:
-            keep.append((x, y))
-    if distributed_cc and keep:
-        # scale path: iterative min-label propagation (stages/graph.py)
+    min id of the connected component over exact-Jaccard-verified
+    edges. Default path is fully distributed (Dataset-resident
+    min-label propagation, ``stages/graph.py``); ``distributed_cc=
+    False`` keeps a driver union-find shortcut for tiny graphs."""
+    pairs_ds = minhash_near_dup_pairs(
+        ds, id_col=id_col, threshold=threshold, num_perm=num_perm, num_bands=num_bands
+    )
+    if distributed_cc:
         from .graph import connected_components
 
-        cc = connected_components(pd.DataFrame(keep, columns=["a", "b"]))
-        return cc.rename(columns={"node": id_col, "component": "group"}).astype(np.int64)
+        cc = connected_components(pairs_ds)
+        out = cc.rename(columns={"node": id_col, "component": "group"})
+        return out.astype(np.int64).sort_values(id_col).reset_index(drop=True)
 
-    # union-find over verified edges (candidate set ≪ corpus)
+    pairs = pairs_ds.to_pandas()
+    if not len(pairs):
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype=np.int64), "group": pd.Series([], dtype=np.int64)}
+        )
     parent: dict = {}
 
     def find(x):
@@ -204,7 +286,7 @@ def minhash_dedup_groups(
             x = parent[x]
         return x
 
-    for x, y in keep:
+    for x, y in zip(pairs["a"], pairs["b"]):
         rx, ry = find(x), find(y)
         if rx != ry:
             parent[max(rx, ry)] = min(rx, ry)
@@ -239,12 +321,28 @@ class SimHasher:
         return batch
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount: uint8 view → unpackbits → row sum."""
+    return np.unpackbits(x.astype(np.uint64).view(np.uint8).reshape(len(x), 8), axis=1).sum(
+        axis=1
+    )
+
+
 def simhash_near_dupes(
-    ds: ray.data.Dataset, id_col: str = "doc_id", max_hamming: int = 3
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 512,
+    n_buckets: int = 32,
 ) -> pd.DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
     (any pair within Hamming ≤3 of each other shares ≥1 exact band),
-    bucket-groupby, verify Hamming distance inside the bucket."""
+    one bucketed shuffle over (band, key), then fully vectorized
+    verification: C-level self-merge pair expansion (bucket size capped
+    at ``bucket_cap``), XOR, and an unpackbits popcount — no per-pair
+    Python loop."""
+    from .bucketed import bucketed_apply
+
     hashed = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
 
     def bands(b: pd.DataFrame) -> pd.DataFrame:
@@ -252,32 +350,38 @@ def simhash_near_dupes(
         out = []
         for i in range(4):
             key = ((h >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int64)
-            out.append(pd.DataFrame({"band": i, "key": key, id_col: b[id_col], "simhash": b["simhash"]}))
+            out.append(
+                pd.DataFrame({"band": i, "key": key, id_col: b[id_col], "simhash": b["simhash"]})
+            )
         return pd.concat(out, ignore_index=True)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(np.int64)
-        g = g.sort_values(id_col)
-        h = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g[id_col].to_numpy()
-        xa, xb, hd = [], [], []
-        for i in range(len(g)):
-            x = h[i] ^ h[i + 1 :]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            m = d <= max_hamming
-            xa.extend([ids[i]] * int(m.sum()))
-            xb.extend(ids[i + 1 :][m].tolist())
-            hd.extend(d[m].tolist())
-        return pd.DataFrame({"a": xa, "b": xb, "hamming": hd}).astype(np.int64)
+        pairs = _pairs_from_buckets(g, ["band", "key"], id_col, cap=bucket_cap)
+        if not len(pairs):
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("a", "b", "hamming")})
+        sh = g.drop_duplicates(id_col).set_index(id_col)["simhash"]
+        ha = sh.loc[pairs["a"]].to_numpy().astype(np.uint64)
+        hb = sh.loc[pairs["b"]].to_numpy().astype(np.uint64)
+        d = _popcount64(ha ^ hb)
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {
+                "a": pairs["a"].to_numpy()[keep],
+                "b": pairs["b"].to_numpy()[keep],
+                "hamming": d[keep].astype(np.int64),
+            }
+        )
 
     pairs = (
-        hashed.map_batches(bands, batch_format="pandas")
-        .groupby(["band", "key"])
-        .map_groups(verify, batch_format="pandas")
+        bucketed_apply(
+            hashed.map_batches(bands, batch_format="pandas"),
+            ["band", "key"],
+            verify,
+            n_buckets=n_buckets,
+        )
         .to_pandas()
     )
-    if "a" not in pairs.columns:
+    if "a" not in pairs.columns or not len(pairs):
         return pd.DataFrame(
             {c: pd.Series([], dtype="int64") for c in ("a", "b", "hamming")}
         )
@@ -328,73 +432,120 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------- embedding near-dup
+def _lsh_banding(threshold: float, target_recall: float = 0.999) -> tuple[int, int]:
+    """Pick (planes_per_band r, num_bands B) for random-hyperplane LSH
+    so a pair at exactly ``threshold`` cosine co-buckets in ≥1 band
+    with probability ≥ target_recall. p = 1 - θ/π per plane; r sized
+    so p^r ≈ 0.3 (keeps buckets selective), B = OR-construction count."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    r = max(2, int(round(np.log(0.3) / np.log(p))))
+    miss = 1.0 - p**r
+    B = max(4, int(np.ceil(np.log(1.0 - target_recall) / np.log(miss))))
+    return r, B
+
+
 def embedding_near_dupes(
     ds: ray.data.Dataset,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = 64,
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int | None = None,
+    num_bands: int | None = None,
     seed: int = 13,
-) -> pd.DataFrame:
-    """Cosine near-duplicate pairs via random-hyperplane LSH buckets
-    (within-bucket exact cosine). ``num_planes`` hyperplanes → 2^p
-    buckets; a pair must agree on every sign to co-bucket, so raise
-    recall by lowering planes or multi-probe at scale."""
+    bucket_cap: int = 512,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Cosine near-duplicate pairs via BANDED random-hyperplane LSH
+    (OR-construction over ``num_bands`` bands of ``num_planes`` sign
+    bits — auto-tuned from the threshold so recall at the threshold is
+    ≥ 0.999, fixing the round-1 all-8-planes-must-agree recall
+    collapse). Candidates are deduped distributed, joined back to their
+    embeddings with shuffle_join, and verified with one vectorized
+    cosine kernel per batch. Returns a Dataset of (a, b, cos)."""
+    from .bucketed import bucketed_apply
+    from .relational import shuffle_join
+
+    if num_planes is None or num_bands is None:
+        num_planes, num_bands = _lsh_banding(threshold)
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes))
+    planes = rng.standard_normal((dim, num_planes * num_bands))
     import ray as _ray
 
     ref = _ray.put(planes)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
 
-    def bucket(b: pa.Table) -> pa.Table:
+    def band_rows(b: pa.Table) -> pd.DataFrame:
         from .similarity import _to_matrix
 
         P = _ray.get(ref)
         emb = _to_matrix(b[emb_col], dim)
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        signs = (emb @ P) > 0
-        key = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
-        return pa.table(
-            {
-                id_col: b[id_col],
-                "bucket": pa.array(key),
-                "_emb": pa.array(list(emb)),
-            }
-        )
+        signs = (emb @ P) > 0  # (n, r*B)
+        ids = np.asarray(b[id_col])
+        out = []
+        for band in range(num_bands):
+            chunk = signs[:, band * num_planes : (band + 1) * num_planes]
+            key = chunk @ weights
+            out.append(pd.DataFrame({"band": band, "key": key, id_col: ids}))
+        return pd.concat(out, ignore_index=True)
 
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
-                "cos": pd.Series([], dtype="float64"),
-            }
-        )
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return _empty()
-        g = g.sort_values(id_col)
-        E = np.stack(g["_emb"].to_numpy())
-        ids = g[id_col].to_numpy()
-        S = E @ E.T
-        iu = np.triu_indices(len(g), k=1)
-        m = S[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "a": ids[iu[0][m]].astype(np.int64),
-                "b": ids[iu[1][m]].astype(np.int64),
-                "cos": np.round(S[iu][m], 4),
-            }
-        )
-
-    out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
+    cand = bucketed_apply(
+        ds.map_batches(band_rows, batch_format="pyarrow"),
+        ["band", "key"],
+        lambda g: _pairs_from_buckets(g, ["band", "key"], id_col, cap=bucket_cap),
+        n_buckets=n_buckets,
     )
-    if "a" not in out.columns:
-        return _empty()
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    pairs = bucketed_apply(
+        cand, ["a", "b"], lambda g: g.drop_duplicates(), n_buckets=n_buckets
+    )
+
+    # ship embeddings as raw float64 bytes: plain binary survives the
+    # shuffle/merge machinery (tensor-extension columns do not)
+    def to_bin(t: pa.Table) -> pa.Table:
+        from .similarity import _to_matrix
+
+        E = _to_matrix(t[emb_col], dim)
+        return pa.table(
+            {id_col: t[id_col], "_embbin": pa.array([e.tobytes() for e in E], type=pa.binary())}
+        )
+
+    embs = ds.map_batches(to_bin, batch_format="pyarrow")
+    from .relational import shuffle_join_schema
+
+    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    embs_schema = pa.schema([(id_col, pa.int64()), ("_embbin", pa.binary())])
+    j1 = shuffle_join(
+        pairs, embs, on=["a"], right_on=[id_col], suffix="_a",
+        left_schema=pairs_schema, right_schema=embs_schema,
+    )
+    j1_schema = shuffle_join_schema(pairs_schema, embs_schema, ["a"], [id_col], "_a")
+    j2 = shuffle_join(
+        j1, embs, on=["b"], right_on=[id_col], suffix="_b",
+        left_schema=j1_schema, right_schema=embs_schema,
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        Ea = np.frombuffer(b"".join(batch["_embbin"]), dtype=np.float64).reshape(-1, dim)
+        Eb = np.frombuffer(b"".join(batch["_embbin_b"]), dtype=np.float64).reshape(-1, dim)
+        cos = (Ea * Eb).sum(axis=1) / (
+            np.linalg.norm(Ea, axis=1) * np.linalg.norm(Eb, axis=1)
+        )
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "a": batch["a"].to_numpy()[keep].astype(np.int64),
+                "b": batch["b"].to_numpy()[keep].astype(np.int64),
+                "cos": np.round(cos[keep], 4),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pandas")

@@ -103,11 +103,15 @@ class FrameSampler:
         self.stride = stride
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in batch.iterrows():
-            for f in range(0, int(r["n_frames"]), self.stride):
-                rows.append({"media_id": r["media_id"], "frame_idx": f})
-        return pd.DataFrame(rows, columns=["media_id", "frame_idx"])
+        # vectorized repeat/arange expansion — no per-row iteration
+        nf = batch["n_frames"].to_numpy().astype(np.int64)
+        reps = (nf + self.stride - 1) // self.stride
+        media = np.repeat(batch["media_id"].to_numpy(), reps)
+        ends = reps.cumsum()
+        offsets = np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(ends - reps, reps)
+        return pd.DataFrame(
+            {"media_id": media, "frame_idx": (offsets * self.stride).astype(np.int64)}
+        )
 
 
 def media_feature_pipeline(n: int = 64, seed: int = 21) -> ray.data.Dataset:

@@ -96,9 +96,10 @@ def hash_join(
     join_type: str = "inner",
     num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """Large-large equi-join: Ray Data's hash-partitioned join (both
-    sides shuffled on the key). Use ``broadcast_join`` whenever one
-    side is small — this one is the expensive path (SURVEY §7.3)."""
+    """Large-large equi-join via Ray Data's native hash-partitioned
+    ``Dataset.join``. NOTE: on Ray 2.49 the join aggregator actors can
+    livelock below ~4 CPUs — ``shuffle_join`` below is the robust
+    bucketed-shuffle fallback and the default large-large path."""
     return left.join(
         right,
         join_type=join_type,
@@ -106,6 +107,127 @@ def hash_join(
         on=tuple(on),
         right_on=tuple(right_on) if right_on else None,
     )
+
+
+def shuffle_join_schema(
+    lschema: pa.Schema,
+    rschema: pa.Schema,
+    on: list[str],
+    right_on: list[str] | None = None,
+    suffix: str = "_r",
+) -> pa.Schema:
+    """Output schema of ``shuffle_join`` for the given inputs — lets
+    callers chain joins without schema probes (a probe on a lazy
+    shuffle output executes the whole upstream pipeline)."""
+    rkeys = right_on or on
+    lnames = list(lschema.names)
+    rpayload = [n for n in rschema.names if n not in rkeys]
+    rename = {n: (n + suffix if n in lnames else n) for n in rpayload}
+    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = dict(zip(lschema.names, lschema.types))
+    return pa.schema(
+        [pa.field(n, ltypes[n]) for n in lnames]
+        + [pa.field(rename[n], rtypes[n]) for n in rpayload]
+    )
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    right_on: list[str] | None = None,
+    join_type: str = "inner",
+    n_buckets: int = 32,
+    suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Bucketed-shuffle equi-join built from Ray Data primitives only
+    (map_batches + one groupby shuffle): both sides are tagged, widened
+    to a shared schema, bucketed on ``hash(key) % n_buckets`` and
+    merged per bucket with one vectorized pandas merge. The workhorse
+    large-large path (reference spatial joins, ``make_maps.py:116-118``)
+    — no join aggregator actors, so it cannot livelock at low CPU
+    counts, and skew is bounded by the hash. ``join_type``: inner|left.
+    Right-side non-key columns colliding with left names get
+    ``suffix``. Pass ``left_schema``/``right_schema`` (Arrow) whenever
+    known — a schema probe on a lazy shuffle output otherwise executes
+    the whole upstream pipeline just to peek one block."""
+    rkeys = right_on or on
+    # canonicalize both sides to Arrow blocks so schemas carry pyarrow
+    # types (pandas-block datasets report numpy dtypes); the identity
+    # map fuses with the neighboring stages.
+    left = left.map_batches(lambda t: t, batch_format="pyarrow")
+    right = right.map_batches(lambda t: t, batch_format="pyarrow")
+
+    def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        )
+
+    lschema = left_schema or _arrow_schema(left)
+    rschema = right_schema or _arrow_schema(right)
+    lnames = list(lschema.names)
+    rpayload = [n for n in rschema.names if n not in rkeys]
+    rename = {n: (n + suffix if n in lnames else n) for n in rpayload}
+    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = dict(zip(lschema.names, lschema.types))
+    out_fields = (
+        [(n, ltypes[n]) for n in lnames]
+        + [(rename[n], rtypes[n]) for n in rpayload]
+    )
+
+    def widen_left(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in lnames}
+        for n in rpayload:
+            cols[rename[n]] = pa.nulls(t.num_rows, type=rtypes[n])
+        cols["_side"] = pa.nulls(t.num_rows, type=pa.int8()).fill_null(0)
+        return pa.table(cols)
+
+    def widen_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in lnames:
+            if n in on:
+                src = rkeys[on.index(n)]
+                cols[n] = pc.cast(t[src], ltypes[n])
+            else:
+                cols[n] = pa.nulls(t.num_rows, type=ltypes[n])
+        for n in rpayload:
+            cols[rename[n]] = t[n]
+        cols["_side"] = pa.nulls(t.num_rows, type=pa.int8()).fill_null(1)
+        return pa.table(cols)
+
+    both = left.map_batches(widen_left, batch_format="pyarrow").union(
+        right.map_batches(widen_right, batch_format="pyarrow")
+    )
+    out_cols = [n for n, _ in out_fields]
+    rpay_cols = [rename[n] for n in rpayload]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][[c for c in out_cols if c not in rpay_cols]]
+        r = g[g["_side"] == 1][on + rpay_cols]
+        m = l.merge(r, on=on, how="inner" if join_type == "inner" else "left")
+        m = m[out_cols]
+        # dtype-stabilize: pandas merges involving empty buckets upcast
+        # int64 -> float64, which would hash join keys differently in
+        # any later bucketed stage; cast back to the declared schema
+        # wherever null-free.
+        for n, t in out_fields:
+            want = t.to_pandas_dtype()
+            if m[n].dtype != want and not m[n].isna().any():
+                try:
+                    m[n] = m[n].astype(want, copy=False)
+                except (TypeError, ValueError):
+                    pass
+        return m
+
+    from .bucketed import bucketed_apply
+
+    return bucketed_apply(both, on, merge_bucket, n_buckets=n_buckets)
 
 
 def smart_join(

@@ -79,16 +79,24 @@ class LangId:
         self.markers = [_LANG_MARKERS[l] for l in self.langs]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)  # explode/reindex need unique labels
         toks = batch[self.text_col].str.lower().str.findall(self.word)
-        n = toks.map(len).to_numpy(dtype=np.float64)
+        n = toks.str.len().to_numpy(dtype=np.float64)
         n[n == 0] = 1.0
-        scores = np.stack(
-            [
-                toks.map(lambda ws, m=m: sum(w in m for w in ws)).to_numpy(dtype=np.float64)
-                for m in self.markers
-            ],
-            axis=1,
-        ) / n[:, None]
+        # vectorized scoring: explode tokens once, one isin() pass per
+        # language, C-level groupby-sum back to the document (no
+        # Python set lookups per token)
+        ex = toks.explode()
+        valid = ex.notna()
+        ex = ex[valid]
+        counts = np.zeros((len(batch), len(self.markers)), dtype=np.float64)
+        if len(ex):
+            pos = pd.Series(np.arange(len(batch)), index=batch.index)
+            ex_pos = pos.reindex(ex.index).to_numpy()
+            for j, m in enumerate(self.markers):
+                hits = ex.isin(m).to_numpy()
+                np.add.at(counts[:, j], ex_pos[hits], 1.0)
+        scores = counts / n[:, None]
         best = scores.argmax(axis=1)
         best_score = scores[np.arange(len(best)), best]
         pred = np.array(self.langs, dtype=object)[best]

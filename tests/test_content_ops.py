@@ -135,8 +135,8 @@ def test_embedding_near_dupes_plants(ray_session):
     E[50] = E[0] + rng.standard_normal(16) * 0.01  # planted near-identical
     df = pd.DataFrame({"vec_id": np.arange(100), "embedding": list(E.astype(np.float32))})
     pairs = embedding_near_dupes(
-        ray.data.from_pandas(df), dim=16, threshold=0.99, num_planes=6
-    )
+        ray.data.from_pandas(df), dim=16, threshold=0.99
+    ).to_pandas()
     assert (0, 50) in set(zip(pairs["a"], pairs["b"]))
 
 
@@ -189,6 +189,6 @@ def test_distributed_connected_components(ray_session):
 def test_minhash_distributed_cc_matches_unionfind(docs_ds):
     from etl_geodata_pipeline_ray.stages.dedup import minhash_dedup_groups
 
-    uf = minhash_dedup_groups(docs_ds, threshold=0.7)
-    cc = minhash_dedup_groups(docs_ds, threshold=0.7, distributed_cc=True)
+    uf = minhash_dedup_groups(docs_ds, threshold=0.7, distributed_cc=False)
+    cc = minhash_dedup_groups(docs_ds, threshold=0.7)  # distributed default
     assert sorted(map(tuple, uf.values.tolist())) == sorted(map(tuple, cc.values.tolist()))
