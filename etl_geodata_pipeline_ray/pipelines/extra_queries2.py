@@ -143,14 +143,16 @@ GROUP BY p.user_id
 
 # ---------------------------------------------------------------- q43
 def q43_quantile_bins(sf_dir: str) -> pd.DataFrame:
-    """O4/A10: quantile binning — global quartile thresholds (two-pass:
-    the threshold estimate runs on the single pruned column; at
-    100 TB swap in a sample or KLL sketch), then a vectorized digitize
-    + count. Interpolation matches DuckDB ``quantile_cont``."""
-    col = (
-        _read(sf_dir, "orders", ["o_totalprice"]).to_pandas()["o_totalprice"].to_numpy()
+    """O4/A10: quantile binning. Quartile thresholds come from
+    ``exact_quantiles`` — distributed histogram refinement (a
+    mergeable per-block sketch; ≤ n_bins rows ever reach the driver),
+    EXACT ``quantile_cont`` semantics with no full-column driver
+    materialization — then a vectorized digitize + count."""
+    from ..stages.aggregates import exact_quantiles
+
+    qs = exact_quantiles(
+        _read(sf_dir, "orders", ["o_totalprice"]), "o_totalprice", [0.25, 0.5, 0.75]
     )
-    qs = np.quantile(col, [0.25, 0.5, 0.75])
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
@@ -240,3 +242,41 @@ FROM documents GROUP BY 1
 """
 
 EXTRA_QUERIES2["q45_bpe_tokens"] = (q45_bpe_tokens, Q45_SQL)
+
+
+# ---------------------------------------------------------------- q47
+def q47_shuffle_join(sf_dir: str) -> pd.DataFrame:
+    """J1 large-large equi-join on the NON-broadcast path: both sides
+    shuffled on the key via ``shuffle_join`` (bucketed exchange + one
+    vectorized merge per bucket — the workhorse at 100 TB, where
+    neither side fits a broadcast; reference spatial joins
+    ``make_maps.py:116-118``). Same plan shape the driver would get on
+    a real cluster — no broadcast fallback is involved at any size."""
+    from ..stages.relational import shuffle_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = shuffle_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_lines"),
+            Sum("l_quantity", alias_name="total_qty"),
+            Sum("l_discount", alias_name="sum_disc"),
+        )
+        .to_pandas()
+    )
+    out["total_qty"] = (out["total_qty"] + 0.0).round(2)
+    out["sum_disc"] = (out["sum_disc"] + 0.0).round(4)
+    return out
+
+
+Q47_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS total_qty,
+       round(sum(l_discount), 4) AS sum_disc
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+EXTRA_QUERIES2["q47_shuffle_join"] = (q47_shuffle_join, Q47_SQL)

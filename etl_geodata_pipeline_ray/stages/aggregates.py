@@ -114,3 +114,133 @@ def weighted_mean(
         return pa.table({group: batch[group], output: pa.array(out)})
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    n_bins: int = 4096,
+    max_driver_values: int = 100_000,
+    max_refinements: int = 10,
+) -> np.ndarray:
+    """EXACT ``quantile_cont`` values without materializing the column
+    on the driver (the reference's quantile normalization family,
+    ``make_maps.py:208-215``, ``:383-385``, at 100-TB posture).
+
+    Recursive histogram refinement: per-block fixed-range histograms
+    (a mergeable sketch — nonzero (bin, count) rows merge with one
+    tiny groupby-sum, so ≤ ``n_bins`` rows ever reach the driver)
+    locate the bin holding each target rank; rank groups whose
+    candidate bins are non-adjacent refine independently, so a dense
+    value cluster between two quantiles cannot stall convergence. Only
+    rows inside candidate bins are pulled, and only once their total
+    is ≤ ``max_driver_values``. Interpolation is linear
+    (lo + frac·(hi−lo)), matching DuckDB ``quantile_cont`` and
+    ``np.quantile``."""
+    from .relational import global_stats
+
+    st = global_stats(ds, col)
+    n = int(st["n"])
+    if n == 0:
+        return np.full(len(qs), np.nan)
+    lo, hi = float(st["min"]), float(st["max"])
+    if lo == hi:
+        return np.full(len(qs), lo)
+
+    pos = np.asarray(qs, dtype=np.float64) * (n - 1)
+    need_ranks = np.unique(
+        np.concatenate([np.floor(pos), np.ceil(pos)]).astype(np.int64)
+    )  # global 0-based order statistics required
+
+    order: dict[int, float] = {}
+
+    def _hist(cur_lo: float, cur_hi: float, width: float) -> tuple[int, np.ndarray]:
+        def hist(batch: pa.Table) -> pa.Table:
+            # bin -1 carries the below-range count so the rank offset
+            # is value-based and exactly consistent with this pass's
+            # in-range mask
+            x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            below = int((x < cur_lo).sum())
+            x = x[(x >= cur_lo) & (x <= cur_hi)]
+            idx = np.minimum(
+                ((x - cur_lo) / width * n_bins).astype(np.int64), n_bins - 1
+            )
+            b, c = np.unique(idx, return_counts=True)
+            if below:
+                b = np.concatenate([[-1], b])
+                c = np.concatenate([[below], c])
+            return pa.table({"bin": pa.array(b), "cnt": pa.array(c.astype(np.int64))})
+
+        counts = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("bin").sum("cnt").to_pandas()
+        )
+        bm = counts["bin"].to_numpy() == -1
+        rank_off = int(counts["sum(cnt)"].to_numpy()[bm].sum())
+        full = np.zeros(n_bins, dtype=np.int64)
+        full[counts["bin"].to_numpy()[~bm]] = counts["sum(cnt)"].to_numpy()[~bm]
+        return rank_off, full
+
+    def _pull(cur_lo, cur_hi, width, b_lo, b_hi, below, ranks):
+        def pull(t: pa.Table) -> pa.Table:
+            x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            xs = x[(x >= cur_lo) & (x <= cur_hi)]
+            idx = np.minimum(
+                ((xs - cur_lo) / width * n_bins).astype(np.int64), n_bins - 1
+            )
+            return pa.table({col: pa.array(xs[(idx >= b_lo) & (idx <= b_hi)])})
+
+        vals = np.sort(
+            ds.map_batches(pull, batch_format="pyarrow").to_pandas()[col].to_numpy()
+        )
+        for r in ranks:
+            order[int(r)] = float(vals[int(r) - below])
+
+    def _refine(cur_lo: float, cur_hi: float, ranks: np.ndarray, depth: int) -> None:
+        width = (cur_hi - cur_lo) or 1.0
+        rank_off, full = _hist(cur_lo, cur_hi, width)
+        cum = np.concatenate([[0], np.cumsum(full)])
+        local = ranks - rank_off
+        bins = np.clip(np.searchsorted(cum, local, side="right") - 1, 0, n_bins - 1)
+        # split ranks into groups of adjacent candidate bins (gap > 1
+        # bin → independent descent; a dense cluster between quantile
+        # targets then never inflates another group's candidate set)
+        uniq = np.unique(bins)
+        groups, cur = [], [uniq[0]]
+        for bv in uniq[1:]:
+            if bv - cur[-1] <= 1:
+                cur.append(bv)
+            else:
+                groups.append(cur)
+                cur = [bv]
+        groups.append(cur)
+        for grp in groups:
+            b_lo, b_hi = int(grp[0]), int(grp[-1])
+            grp_ranks = ranks[np.isin(bins, grp)]
+            cand_rows = int(full[b_lo : b_hi + 1].sum())
+            if cand_rows <= max_driver_values or b_hi == b_lo or depth + 1 >= max_refinements:
+                if cand_rows > max_driver_values and b_hi == b_lo and depth + 1 < max_refinements:
+                    # single overfull bin: descend into just that bin
+                    nl = cur_lo + b_lo * width / n_bins
+                    nh = cur_lo + (b_hi + 1) * width / n_bins
+                    if nh > nl:
+                        _refine(nl, nh, grp_ranks, depth + 1)
+                        continue
+                _pull(cur_lo, cur_hi, width, b_lo, b_hi, rank_off + int(cum[b_lo]), grp_ranks)
+            else:
+                # widen one bin each side to absorb float boundary flips
+                nl = cur_lo + max(0, b_lo - 1) * width / n_bins
+                nh = cur_lo + min(n_bins, b_hi + 2) * width / n_bins
+                if nh <= nl or (nl <= cur_lo and nh >= cur_hi):
+                    _pull(cur_lo, cur_hi, width, b_lo, b_hi, rank_off + int(cum[b_lo]), grp_ranks)
+                else:
+                    _refine(nl, nh, grp_ranks, depth + 1)
+
+    _refine(lo, hi, need_ranks, 0)
+    out = []
+    for p in pos:
+        f, c = int(np.floor(p)), int(np.ceil(p))
+        vf, vc = order[f], order[c]
+        out.append(vf + (p - f) * (vc - vf))
+    return np.asarray(out)

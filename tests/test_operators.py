@@ -68,3 +68,51 @@ def test_config_driven_pipeline(ray_session):
     out2 = run_file("configs/order_region_revenue.yaml", sf_dir=SF_DIR).to_pandas()
     assert len(out2) == 10
     assert (out2["revenue"].to_numpy()[:-1] >= out2["revenue"].to_numpy()[1:]).all()
+
+
+def test_exact_quantiles_refinement_path(ray_session):
+    """exact_quantiles must stay exact when the candidate bins exceed
+    max_driver_values (forces ≥1 histogram refinement) and on skewed
+    data where one bin holds most rows."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.aggregates import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([rng.normal(0, 1, 40_000), rng.normal(0.001, 1e-6, 10_000)])
+    ds = ray.data.from_pandas(pd.DataFrame({"x": x}))
+    qs = [0.1, 0.25, 0.5, 0.9]
+    got = exact_quantiles(ds, "x", qs, n_bins=64, max_driver_values=500)
+    want = np.quantile(x, qs)
+    assert np.allclose(got, want, rtol=0, atol=1e-12), (got, want)
+
+
+def test_shuffle_join_inner_and_left(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.relational import shuffle_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "v": [10, 20, 30, 40, 41]})
+    right = pd.DataFrame({"kk": [2, 3, 3, 5], "w": ["b", "c1", "c2", "e"]})
+    l_ds, r_ds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    inner = (
+        shuffle_join(l_ds, r_ds, on=["k"], right_on=["kk"], n_buckets=4)
+        .to_pandas().sort_values(["k", "v", "w"]).reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="kk")[["k", "v", "w"]]
+        .sort_values(["k", "v", "w"]).reset_index(drop=True)
+    )
+    assert inner.equals(want)
+
+    lj = (
+        shuffle_join(l_ds, r_ds, on=["k"], right_on=["kk"], join_type="left", n_buckets=4)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert len(lj) == 6  # 4 matches + rows 1 and (4,4) unmatched
+    assert lj[lj.k == 1]["w"].isna().all()
