@@ -36,13 +36,31 @@ def manifest_path(lake_dir: str | Path, shard: int) -> Path:
     return Path(lake_dir) / MANIFEST_DIR / f"shard-{shard:05d}.json"
 
 
+def _fsync_dir(d: Path) -> None:
+    try:
+        fd = os.open(d, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def atomic_write_table(table: pa.Table, dest: Path) -> int:
-    """Write parquet via temp file + atomic rename; returns bytes."""
+    """Write parquet via temp file + fsync + atomic rename; returns
+    bytes. The data fsync ORDERS data durability before the (also
+    fsynced) manifest write — without it a power loss could persist the
+    manifest while the files it references are still torn, violating
+    the manifest-last invariant."""
     dest.parent.mkdir(parents=True, exist_ok=True)
     tmp = dest.parent / f".tmp-{uuid.uuid4().hex}-{dest.name}"
     pq.write_table(table, tmp)
+    with open(tmp, "rb") as f:
+        os.fsync(f.fileno())
     size = tmp.stat().st_size
     os.replace(tmp, dest)
+    _fsync_dir(dest.parent)
     return size
 
 
@@ -54,6 +72,7 @@ def atomic_write_json(obj: dict, dest: Path) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, dest)
+    _fsync_dir(dest.parent)
 
 
 def read_manifest(lake_dir: str | Path, shard: int) -> dict | None:
@@ -133,27 +152,47 @@ def segment_offset(path: str | Path) -> int:
 class LakeLock:
     """Advisory exclusive lock for replay/compact on one lake.
 
-    O_EXCL lock file under _manifests/; contains pid + timestamp.
-    Stale locks (older than ``stale_s``) are broken — a crashed writer
-    must not wedge the lake forever, and the commit protocol is safe
-    against the (rare) double-writer this allows: data files only
-    become visible via atomic manifest replaces, and the merge is
-    LWW-idempotent. Raises ``LakeLockedError`` on live contention.
+    O_EXCL lock file under _manifests/; contains pid + timestamp + a
+    unique token. A lock is broken ONLY when its holder pid is provably
+    dead (same-host liveness probe) or the file is unreadable and past
+    ``stale_s`` — a merely SLOW writer (>1h replays are plausible at
+    the 10^10-event posture) keeps its lock, so a second writer can
+    never GC the first one's not-yet-manifested files out from under
+    it. ``__exit__`` unlinks the lock only while it still carries this
+    holder's token, so a writer whose lock was legitimately broken
+    cannot delete the new holder's lock on the way out. (Single-node
+    semantics; on a multi-node cluster this becomes a lease in a
+    shared store.) Raises ``LakeLockedError`` on live contention.
     """
 
     def __init__(self, lake_dir, stale_s: float = 3600.0):
         self.path = Path(lake_dir) / MANIFEST_DIR / "_replay.lock"
         self.stale_s = stale_s
+        self.token = uuid.uuid4().hex
+
+    @staticmethod
+    def _pid_alive(pid) -> bool:
+        if not isinstance(pid, int) or pid <= 0:
+            return False
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
 
     def __enter__(self):
         import time
 
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        for _ in range(2):
+        for _ in range(3):
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 with os.fdopen(fd, "w") as f:
-                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+                    json.dump(
+                        {"pid": os.getpid(), "ts": time.time(), "token": self.token}, f
+                    )
                 return self
             except FileExistsError:
                 try:
@@ -162,19 +201,32 @@ class LakeLock:
                     age = time.time() - held.get("ts", 0)
                 except (OSError, ValueError):
                     held, age = {}, self.stale_s + 1
-                if age > self.stale_s:
-                    try:
-                        self.path.unlink()
-                    except OSError:
-                        pass
-                    continue
-                raise LakeLockedError(
-                    f"lake is locked by pid {held.get('pid')} "
-                    f"({age:.0f}s ago); concurrent replay/compact refused"
-                )
+                if self._pid_alive(held.get("pid")):
+                    raise LakeLockedError(
+                        f"lake is locked by live pid {held.get('pid')} "
+                        f"({age:.0f}s ago); concurrent replay/compact refused"
+                    )
+                if held and age <= self.stale_s and "pid" in held:
+                    # dead holder: break immediately
+                    pass
+                elif age <= self.stale_s:
+                    raise LakeLockedError(
+                        "lake lock unreadable and not yet stale; refusing"
+                    )
+                try:
+                    self.path.unlink()
+                except OSError:
+                    pass
         raise LakeLockedError("could not acquire lake lock")
 
     def __exit__(self, *exc):
+        try:
+            with open(self.path) as f:
+                held = json.load(f)
+            if held.get("token") != self.token:
+                return  # our lock was broken; don't delete the new holder's
+        except (OSError, ValueError):
+            return
         try:
             self.path.unlink()
         except OSError:

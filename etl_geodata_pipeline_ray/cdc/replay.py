@@ -283,12 +283,16 @@ def replay(
     segments = list_segments(wal_dir)
     if max_segments is not None:
         segments = segments[:max_segments]
-    manifests = mf.read_all_manifests(lake_dir)
-    pending = _pending_segments(segments, manifests, num_shards)
-    if not pending:
-        return {"committed_segments": 0, "shards_updated": 0, "salted_shards": 0}
 
     with mf.LakeLock(lake_dir):
+        # manifests are read INSIDE the lock: another replay may have
+        # committed between call time and lock acquisition, and a stale
+        # snapshot here would re-write just-committed v{N}-s{salt}
+        # paths and carry file lists the other commit already GC'd.
+        manifests = mf.read_all_manifests(lake_dir)
+        pending = _pending_segments(segments, manifests, num_shards)
+        if not pending:
+            return {"committed_segments": 0, "shards_updated": 0, "salted_shards": 0}
         return _replay_locked(
             lake_dir, pending, manifests, num_shards, salt_threshold,
             batch_size, mode, compact_runs, timings,

@@ -202,9 +202,14 @@ def test_schema_widening_across_segments(ray_session, tmp_path):
 
 
 def test_concurrent_replay_refused(ray_session, tmp_path):
-    """A live lock on the lake makes a second replay fail loudly
-    (stale locks are broken after stale_s so a crashed writer cannot
-    wedge the lake)."""
+    """A live lock on the lake makes a second replay fail loudly; a
+    DEAD holder's lock is broken (liveness probe), while a merely slow
+    live holder keeps its lock no matter how old — and a writer whose
+    lock was broken must not delete the new holder's lock on exit."""
+    import json
+    import os
+    import subprocess
+
     from etl_geodata_pipeline_ray.cdc import manifest as mf
     from etl_geodata_pipeline_ray.cdc.manifest import LakeLockedError
 
@@ -215,14 +220,30 @@ def test_concurrent_replay_refused(ray_session, tmp_path):
     replay(wal, lake, num_shards=4, max_segments=1)
 
     with mf.LakeLock(lake):  # simulate another live writer
-        with pytest.raises(LakeLockedError, match="locked by pid"):
+        with pytest.raises(LakeLockedError, match="locked by live pid"):
             replay(wal, lake, num_shards=4)
 
-    # lock released → replay proceeds; stale-lock break path:
-    lock = mf.LakeLock(lake, stale_s=0.0)
-    (lake / "_manifests" / "_replay.lock").write_text('{"pid": 1, "ts": 0}')
-    with lock:  # stale lock broken silently
+    lock_path = lake / "_manifests" / "_replay.lock"
+
+    # dead-holder lock → broken even when young
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lock_path.write_text(json.dumps({"pid": proc.pid, "ts": 9e12, "token": "x"}))
+    with mf.LakeLock(lake):
         pass
+
+    # old-but-LIVE holder → NOT broken (slow writer keeps the lake)
+    lock_path.write_text(json.dumps({"pid": os.getpid(), "ts": 0, "token": "y"}))
+    with pytest.raises(LakeLockedError, match="locked by live pid"):
+        mf.LakeLock(lake).__enter__()
+
+    # broken-lock holder exiting must not unlink the new holder's lock
+    stale = mf.LakeLock(lake)
+    stale.token = "not-the-current-token"
+    stale.__exit__(None, None, None)
+    assert lock_path.exists(), "exit of a broken lock deleted the live lock"
+    lock_path.unlink()
+
     stats = replay(wal, lake, num_shards=4)
     assert stats["committed_segments"] >= 1
     assert lake_final_table(lake).equals(oracle_final_state(wal))
