@@ -5,6 +5,8 @@ gravity weighting (J5 + A7), quantile binning (O4 + A10)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -280,3 +282,79 @@ GROUP BY o_orderpriority
 """
 
 EXTRA_QUERIES2["q47_shuffle_join"] = (q47_shuffle_join, Q47_SQL)
+
+
+# ---------------------------------------------------------------- q52
+def q52_cdc_replay_events(sf_dir: str) -> pd.DataFrame:
+    """Flagship CDC replay path, driver-oracle-checked: the WAL is
+    derived DETERMINISTICALLY from the events table (conv_id =
+    user_id, turn_idx = event_id % 25, 'error' events are deletes,
+    LWW on (ts, op_seq=event_id); segments below the midpoint id are
+    written WITHOUT the tool column — exercising mid-stream schema
+    evolution), then replayed through the REAL engine — shard
+    routing, Hive-partitioned delta write, per-shard LWW compaction,
+    manifest-last commit — and the committed lake's final table is
+    compared against a pure-SQL window-function oracle. This closes
+    the round-1 gap where the replay pipeline was only self-asserted
+    against the repo's own oracle module."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..cdc.replay import lake_final_table, replay
+    from ..cdc.schema import EVENT_SCHEMA
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    ids = ev["event_id"].to_numpy()
+    split = int(ids.max()) // 2
+    role = ev["event_type"].to_numpy(zero_copy_only=False)
+    env = pa.table(
+        {
+            "op": pa.array(np.where(role == "error", "D", "U")),
+            "op_seq": pa.array(ids, type=pa.int64()),
+            "ts": ev["ts"].cast(pa.timestamp("us")),
+            "conv_id": pc.cast(ev["user_id"], pa.string()),
+            "turn_idx": pa.array((ids % 25).astype(np.int32)),
+            "role": pa.array(role),
+            "text": ev["props"].cast(pa.large_string()),
+            "tool": pa.array(np.where(ids >= split, role, None)),
+        },
+        schema=EVENT_SCHEMA,
+    )
+    root = Path("/tmp/graft_q52") / Path(sf_dir).name
+    wal, lake = root / "wal", root / "lake"
+    shutil.rmtree(root, ignore_errors=True)
+    wal.mkdir(parents=True)
+    n = env.num_rows
+    seg_rows = max(500, (n + 7) // 8)
+    cut = int(np.searchsorted(ids, split))  # v0/v1 schema boundary
+    bounds = sorted({0, cut, n} | set(range(0, n, seg_rows)))
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        seg = env.slice(lo, hi - lo)
+        if int(ids[lo]) < split:
+            seg = seg.drop_columns(["tool"])  # pre-schema-change segment
+        pq.write_table(seg, wal / f"seg-{lo:012d}.parquet", row_group_size=4096)
+    replay(wal, lake, num_shards=16)
+    return lake_final_table(lake).to_pandas()
+
+
+Q52_SQL = """
+WITH env AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS op_seq, ts, event_type AS role, props AS text,
+         CASE WHEN event_id >= (SELECT max(event_id) // 2 FROM events)
+              THEN event_type END AS tool
+  FROM events),
+latest AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                              ORDER BY ts DESC, op_seq DESC) AS rn
+                 FROM env) WHERE rn = 1)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE op <> 'D' ORDER BY 1, 2
+"""
+
+EXTRA_QUERIES2["q52_cdc_replay_events"] = (q52_cdc_replay_events, Q52_SQL)

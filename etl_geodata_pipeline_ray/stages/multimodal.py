@@ -64,18 +64,27 @@ class DecodeImage:
 
     ``mode="fake"``  — parse the synthetic header, compute cheap
                        deterministic features from the payload bytes.
-    ``mode="real"``  — the integration point for a real decoder;
-                       raises NotImplementedError in this container.
+    ``mode="real"``  — the integration point for a real decoder:
+                       pass ``decoder`` = callable(payload bytes) ->
+                       (width, height, px_mean, px_std). The seam's
+                       CONTRACT (signature, batch layout, actor init)
+                       is pinned by test_real_decoder_contract, so a
+                       PIL/cv2-backed decoder drops in unchanged;
+                       without one this raises NotImplementedError
+                       (no image libs in this container).
     """
 
-    def __init__(self, mode: str = "fake"):
+    def __init__(self, mode: str = "fake", decoder=None):
         self.mode = mode
+        self.decoder = decoder
 
     def _features(self, payload: bytes) -> tuple[int, int, float, float]:
         if self.mode == "real":
+            if self.decoder is not None:
+                return self.decoder(payload)
             raise NotImplementedError(
                 "real image decode requires PIL/cv2, not present in this "
-                "container; plug the decoder in here"
+                "container; pass decoder=callable(bytes)->(w,h,mean,std)"
             )
         if payload[:4] != _MAGIC:
             return 0, 0, float("nan"), float("nan")
