@@ -303,12 +303,39 @@ def q31_media_features(sf_dir: str) -> pd.DataFrame:
 
 
 def q32_frame_sampling(sf_dir: str) -> pd.DataFrame:
-    """Video-path frame sampling layout (stub; one row per sampled frame)."""
-    from ..stages.multimodal import FrameSampler, synth_media_table
+    """Video-path frame sampling layout (one row per sampled frame,
+    stride 2). The media rows derive DETERMINISTICALLY from the
+    documents table (media_id = doc_id < 64; images get 1 frame,
+    audio/video get (doc_id % 6) + 2), so the expansion is fully
+    SQL-checkable via generate_series."""
+    from ..stages.multimodal import FrameSampler
 
-    ds = ray.data.from_arrow(synth_media_table(64, 21))
-    out = ds.map_batches(FrameSampler(stride=2), batch_format="pandas")
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_id"], pa.scalar(64))),
+        batch_format="pyarrow",
+    )
+
+    def to_media(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy()
+        kind_image = (ids % 5) < 3
+        n_frames = np.where(kind_image, 1, (ids % 6) + 2).astype(np.int64)
+        return pd.DataFrame({"media_id": ids, "n_frames": n_frames})
+
+    out = docs.map_batches(to_media, batch_format="pyarrow").map_batches(
+        FrameSampler(stride=2), batch_format="pandas"
+    )
     return out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+Q32_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 1 ELSE (doc_id % 6) + 2 END AS n_frames
+  FROM documents WHERE doc_id < 64)
+SELECT media_id,
+       unnest(list_transform(range(0, (n_frames + 1) // 2), x -> x * 2)) AS frame_idx
+FROM m ORDER BY 1, 2
+"""
 
 
 CONTENT_QUERIES = {
@@ -323,7 +350,7 @@ CONTENT_QUERIES = {
     "q29_embedding_near_dupes": (q29_embedding_near_dupes, Q29_SQL),
     "q30_ivf_recall": (q30_ivf_recall, Q30_SQL),
     "q31_media_features": (q31_media_features, None),
-    "q32_frame_sampling": (q32_frame_sampling, None),
+    "q32_frame_sampling": (q32_frame_sampling, Q32_SQL),
     "q48_ngram_jaccard": (q48_ngram_jaccard, Q48_SQL),
     "q49_minhash_clusters": (q49_minhash_clusters, None),
 }

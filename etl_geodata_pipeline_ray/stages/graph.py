@@ -68,10 +68,14 @@ def connected_components(
         lambda g: g.drop_duplicates(),
         n_buckets=n_buckets,
     ).materialize()
-    if und.count() == 0:
+    n_edges = und.count()
+    if n_edges == 0:
         return pd.DataFrame(
             {"node": pd.Series([], dtype=np.int64), "component": pd.Series([], dtype=np.int64)}
         )
+    # adapt bucket count to graph size: per-round cost on small graphs
+    # is all fixed task/sort overhead, which scales with bucket count
+    n_buckets = max(4, min(n_buckets, int(np.ceil(n_edges / 20_000))))
 
     # identity labels: every node labels itself
     labels = _min_label_per_node(
