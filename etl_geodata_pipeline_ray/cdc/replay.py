@@ -331,9 +331,12 @@ def _replay_locked(
     cap = max(avail_cpus, min(128, int(np.ceil(total_bytes / (384 << 20)))))
     # only pay the repartition hop when the projected file count is in
     # the measured pain zone (>6k files: footer-open cost dominated
-    # stage B at 43M events / 21k files); below it the fused
-    # read→route→write path wins.
-    if est_blocks * num_shards > 6000 and est_blocks > 1.5 * cap:
+    # stage B at 43M events / 21k files; round 2 re-measured the edge —
+    # 5.5k files still cost ~90 s of stage-B footer opens at 43M/64
+    # shards, so the gate moved to 4k); below it the fused
+    # read→route→write path wins, and the bench/scaling workloads
+    # (≤2.2k projected files) stay ungated.
+    if est_blocks * num_shards > 4000 and est_blocks > 1.5 * cap:
         ds = ds.repartition(cap)
 
     def route(batch: pa.Table) -> pa.Table:

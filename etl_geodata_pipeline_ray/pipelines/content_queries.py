@@ -1,7 +1,10 @@
 """Training-data / content operators catalog: text analysis, dedup
 family, similarity search, multimodal plumbing — over ``documents`` /
-``embeddings`` (+ synthesized media). SQL-expressible entries carry a
-DuckDB oracle; sketch/heuristic ops are rows-only and verified by
+``embeddings`` (+ media derived from them). Nearly every entry carries
+a DuckDB oracle — including brute-force ground-truth oracles for the
+LSH dedup paths (q25/q29) and a deterministic SQL reproduction of the
+langid heuristic (q27); the few rows-only entries (simhash histogram,
+fingerprints, decode-stub features, CC clusters) are verified by
 property tests in tests/test_content_ops.py.
 """
 

@@ -201,3 +201,30 @@ def _broadcast_join(ds, path: str, keys: list[str], right_keys: list[str] | None
 def _write_parquet(ds, path: str, partition_cols: list[str] | None = None):
     ds.write_parquet(path, partition_cols=partition_cols)
     return ds
+
+
+@register_step("shuffle_join")
+def _shuffle_join(ds, path: str, on: list[str], right_on: list[str] | None = None,
+                  columns: list[str] | None = None, join_type: str = "inner",
+                  n_buckets: int = 32):
+    """Large-large bucketed shuffle join against another parquet table
+    (the non-broadcast path; see stages/relational.shuffle_join)."""
+    from ..stages.relational import shuffle_join
+
+    right = ray.data.read_parquet(path, columns=columns)
+    return shuffle_join(ds, right, on=on, right_on=right_on,
+                        join_type=join_type, n_buckets=n_buckets)
+
+
+@register_step("exact_dedup")
+def _exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(ds, text_col, id_col)
+
+
+@register_step("latest_per_key")
+def _latest_per_key(ds, keys: list[str], order_by: list[str], n_buckets: int = 32):
+    from ..stages.relational import latest_per_key
+
+    return latest_per_key(ds, keys, order_by, n_buckets=n_buckets)

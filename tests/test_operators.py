@@ -116,3 +116,23 @@ def test_shuffle_join_inner_and_left(ray_session):
     )
     assert len(lj) == 6  # 4 matches + rows 1 and (4,4) unmatched
     assert lj[lj.k == 1]["w"].isna().all()
+
+
+def test_spec_shuffle_join_step(ray_session, con):
+    """Registry coverage for the round-2 steps: shuffle_join through
+    the YAML extension surface matches a SQL oracle."""
+    import numpy as np
+
+    from etl_geodata_pipeline_ray.pipelines.spec import run_file
+
+    out = (
+        run_file("configs/order_lines_shuffle_join.yaml", sf_dir=SF_DIR)
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    )
+    want = con.execute(
+        """SELECT o_orderpriority, count(*) AS n_lines, sum(l_quantity) AS total_qty
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert out["n_lines"].tolist() == want["n_lines"].tolist()
+    assert np.allclose(out["total_qty"], want["total_qty"])
