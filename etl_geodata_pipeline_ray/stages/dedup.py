@@ -232,9 +232,19 @@ def minhash_near_dup_pairs(
     tcol_a, tcol_b = text_col, text_col + "_b"
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # memoize shingle sets per doc id: a doc appearing in many
+        # candidate pairs is shingled once per batch, not once per pair
+        cache: dict = {}
+
+        def sh(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = _shingle_set(text, shingle_k)
+            return s
+
         out_a, out_b, js = [], [], []
         for a, b, x, y in zip(batch["a"], batch["b"], batch[tcol_a], batch[tcol_b]):
-            sa, sb = _shingle_set(x, shingle_k), _shingle_set(y, shingle_k)
+            sa, sb = sh(a, x), sh(b, y)
             inter = len(sa & sb)
             jac = inter / (len(sa) + len(sb) - inter)
             if jac >= threshold:

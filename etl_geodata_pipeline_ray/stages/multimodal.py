@@ -104,6 +104,44 @@ class DecodeImage:
         return out
 
 
+class ResizeImage:
+    """Actor-pool resize stage (task-brief multimodal op). ``fake``
+    mode deterministically subsamples the synthetic payload's pixel
+    grid to (target_w, target_h) and rewrites the header — a real
+    PIL/cv2 resampler drops in via ``resizer`` = callable(payload,
+    target_w, target_h) -> bytes, same seam contract as DecodeImage."""
+
+    def __init__(self, target_w: int = 16, target_h: int = 16,
+                 mode: str = "fake", resizer=None):
+        self.tw, self.th = target_w, target_h
+        self.mode = mode
+        self.resizer = resizer
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.mode == "real":
+            if self.resizer is not None:
+                return self.resizer(payload, self.tw, self.th)
+            raise NotImplementedError(
+                "real resize requires PIL/cv2; pass resizer=callable"
+            )
+        if payload[:4] != _MAGIC:
+            return payload
+        w, h, c = struct.unpack("<HHB", payload[4:9])
+        px = np.frombuffer(payload[9:], dtype=np.uint8)
+        n_frames = max(1, len(px) // (w * h * c))
+        grid = px[: n_frames * w * h * c].reshape(n_frames, h, w, c)
+        yi = np.linspace(0, h - 1, self.th).round().astype(int)
+        xi = np.linspace(0, w - 1, self.tw).round().astype(int)
+        out = grid[:, yi][:, :, xi]  # nearest-neighbor subsample
+        return _MAGIC + struct.pack("<HHB", self.tw, self.th, c) + out.tobytes()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["payload"] = [self._resize(p) for p in batch["payload"]]
+        batch["width"] = np.int32(self.tw)
+        batch["height"] = np.int32(self.th)
+        return batch
+
+
 class FrameSampler:
     """Video-path stub: emits one row per sampled frame index (every
     ``stride``-th frame) without decoding; shows the flat_map layout."""

@@ -218,3 +218,33 @@ def test_real_decoder_contract(ray_session):
     assert len(out) == 8 and "payload" not in out.columns
     assert (out["dec_width"] == 2).all() and (out["dec_height"] == 3).all()
     assert (out["px_mean"] == 1.5).all() and (out["aspect"] == round(2 / 3, 4)).all()
+
+
+def test_resize_stage(ray_session):
+    """Resize actor stage: header rewritten to target dims, payload
+    decodes cleanly downstream, and the real-resampler seam raises
+    without a plug-in."""
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.multimodal import (
+        DecodeImage,
+        ResizeImage,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(12, 7))
+    out = (
+        ds.map_batches(
+            ResizeImage,
+            fn_constructor_kwargs={"target_w": 8, "target_h": 6},
+            batch_format="pandas",
+            batch_size=4,
+            concurrency=(1, 2),
+        )
+        .map_batches(DecodeImage, batch_format="pandas", batch_size=4, concurrency=(1, 2))
+        .to_pandas()
+    )
+    assert (out["dec_width"] == 8).all() and (out["dec_height"] == 6).all()
+    assert out["px_mean"].notna().all()
+    with pytest.raises(NotImplementedError):
+        ResizeImage(mode="real")._resize(b"GIMG")
