@@ -236,17 +236,22 @@ def smart_join(
     on: list[str],
     right_on: list[str] | None = None,
     join_type: str = "inner",
-    num_partitions: int = 8,
+    num_partitions: int = 32,
     broadcast_threshold_rows: int = 2_000_000,
+    broadcast_threshold_bytes: int = 512 << 20,
 ) -> ray.data.Dataset:
     """Size-based join strategy: broadcast the right side when it is
-    small (count is free for parquet-backed datasets — metadata only),
-    else fall back to the hash-partitioned shuffle join. This is the
+    small (count/size are metadata-only for parquet-backed datasets),
+    else fall back to the bucketed ``shuffle_join``. This is the
     planner rule the reference applies implicitly by always merging
     small dims driver-side (J3) and the guide's 'broadcast the small
-    side' — measured ~4x faster than Dataset.join at testdata scales."""
+    side' — measured ~4x faster than Dataset.join at testdata scales.
+    The byte threshold guards the driver/object-store against a
+    narrow-but-huge or wide right side that the row threshold alone
+    would happily materialize."""
     n_right = right.count()
-    if n_right <= broadcast_threshold_rows:
+    sz = right.size_bytes() or 0
+    if n_right <= broadcast_threshold_rows and sz <= broadcast_threshold_bytes:
         small = pa.concat_tables(
             [ray.get(ref) for ref in right.to_arrow_refs()],
             promote_options="permissive",
@@ -254,9 +259,9 @@ def smart_join(
         return broadcast_join(
             left, small, keys=on, join_type=join_type, right_keys=right_on
         )
-    return hash_join(
+    return shuffle_join(
         left, right, on=on, right_on=right_on, join_type=join_type,
-        num_partitions=num_partitions,
+        n_buckets=num_partitions,
     )
 
 
