@@ -154,14 +154,40 @@ WHERE jac >= 0.8 ORDER BY 1, 2
 
 
 def q26_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """SimHash banded near-dup pairs (Hamming ≤ 3), summarized as a
-    per-distance histogram (the synthetic docs share one vocabulary, so
-    raw pair lists are large; the full pair frame is available from
-    ``stages.dedup.simhash_near_dupes``)."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    pairs = simhash_near_dupes(ds, max_hamming=3)
+    """SimHash banded near-dup pairs (Hamming ≤ 3) over a stable doc
+    slice, summarized as a per-distance histogram. Token hashes use
+    md5 (little-endian first 8 bytes == DuckDB ``md5_number_upper``),
+    so the oracle recomputes the full 64-bit simhash AND the
+    brute-force pair histogram in SQL — any pair within Hamming ≤ 3
+    shares ≥1 exact 16-bit band (pigeonhole), so the banded engine
+    output must equal brute force exactly. The slice (doc_id < 200)
+    bounds the quadratic bucket verify on this shared-vocabulary
+    corpus where Hamming ≤ 3 is non-selective."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_id"], pa.scalar(200))),
+        batch_format="pyarrow",
+    )
+    pairs = simhash_near_dupes(ds, max_hamming=3, hash_fn="md5")
     out = pairs.groupby("hamming").size().reset_index(name="n_pairs")
     return out.astype({"hamming": "int64", "n_pairs": "int64"})
+
+
+Q26_SQL = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d),
+h AS (SELECT doc_id, md5_number_upper(w) AS hv FROM tok),
+bits AS (
+  SELECT doc_id, b.x AS bit,
+         sum(CASE WHEN (hv >> b.x) & 1 = 1 THEN 1 ELSE -1 END) AS score
+  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS x) b GROUP BY 1, 2),
+sh AS (SELECT doc_id,
+              CAST(sum(CASE WHEN score > 0 THEN CAST(1 AS UBIGINT) << CAST(bit AS INTEGER)
+                            ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS s
+       FROM bits GROUP BY 1)
+SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS n_pairs FROM (
+  SELECT bit_count(xor(x.s, y.s)) AS hamming FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+WHERE hamming <= 3 GROUP BY 1 ORDER BY 1
+"""
 
 
 def q27_langid(sf_dir: str) -> pd.DataFrame:
@@ -347,7 +373,7 @@ CONTENT_QUERIES = {
     "q23_exact_dedup": (q23_exact_dedup, Q23_SQL),
     "q24_ann_cosine": (q24_ann_cosine, Q24_SQL),
     "q25_minhash_near_dupes": (q25_minhash_near_dupes, Q25_SQL),
-    "q26_simhash_pairs": (q26_simhash_pairs, None),
+    "q26_simhash_pairs": (q26_simhash_pairs, Q26_SQL),
     "q27_langid": (q27_langid, Q27_SQL),
     "q28_fingerprints": (q28_fingerprints, None),
     "q29_embedding_near_dupes": (q29_embedding_near_dupes, Q29_SQL),

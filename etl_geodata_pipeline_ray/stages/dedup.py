@@ -308,21 +308,47 @@ def minhash_dedup_groups(
 # ------------------------------------------------------------ SimHash
 class SimHasher:
     """64-bit SimHash (Charikar 2002): sign of the weighted sum of
-    token-hash bit vectors. Vectorized per doc via numpy unpackbits."""
+    token-hash bit vectors, vectorized per doc.
 
-    def __init__(self, text_col: str = "text", output: str = "simhash"):
+    ``hash_fn="fast"`` (default) uses pandas' vectorized hash;
+    ``hash_fn="md5"`` uses the little-endian first 8 md5 bytes per
+    token — bit-for-bit reproducible in DuckDB as
+    ``md5_number_upper(token)``, which is what makes q26's brute-force
+    SQL oracle possible."""
+
+    def __init__(self, text_col: str = "text", output: str = "simhash",
+                 hash_fn: str = "fast"):
         self.text_col = text_col
         self.output = output
+        self.hash_fn = hash_fn
+
+    def _token_hashes(self, toks: list[str]) -> np.ndarray:
+        if self.hash_fn == "md5":
+            import hashlib
+
+            return np.array(
+                [
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+                    for w in toks
+                ],
+                dtype=np.uint64,
+            )
+        return pd.util.hash_array(np.array(toks, dtype=object), hash_key=_HASH_KEY)
 
     def _doc(self, text: str) -> int:
         toks = text.split()
         if not toks:
             return 0
-        h = pd.util.hash_array(np.array(toks, dtype=object), hash_key=_HASH_KEY)
-        bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1)
-        score = bits.sum(axis=0) * 2 - len(h)  # (+1/-1 vote per bit)
-        out = np.packbits((score > 0).astype(np.uint8))
-        return int(out.view(np.uint64)[0])
+        h = self._token_hashes(toks)
+        # explicit (h >> b) & 1 bit order — matches the SQL oracle
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        score = bits.astype(np.int64).sum(axis=0) * 2 - len(h)  # ±1 vote per bit
+        with np.errstate(over="ignore"):
+            val = (
+                (score > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)
+            ).sum(dtype=np.uint64)
+        return int(val)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch[self.output] = np.array(
@@ -344,6 +370,7 @@ def simhash_near_dupes(
     max_hamming: int = 3,
     bucket_cap: int = 512,
     n_buckets: int = 32,
+    hash_fn: str = "fast",
 ) -> pd.DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
     (any pair within Hamming ≤3 of each other shares ≥1 exact band),
@@ -353,7 +380,12 @@ def simhash_near_dupes(
     Python loop."""
     from .bucketed import bucketed_apply
 
-    hashed = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+    hashed = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"hash_fn": hash_fn},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
 
     def bands(b: pd.DataFrame) -> pd.DataFrame:
         h = b["simhash"].to_numpy().astype(np.uint64)
