@@ -87,11 +87,13 @@ def _texts(rng: np.random.Generator, n: int, words_per_text: int) -> "pa.Array":
     return pc.binary_join_element_wise(*cols, " ")
 
 
-def generate_events(spec: WalSpec) -> pa.Table:
-    """Generation-order event table (op_seq == position, monotone ts)."""
+def generate_events(spec: WalSpec, conv_base: int = 0) -> pa.Table:
+    """Generation-order event table (op_seq == position, monotone ts).
+    ``conv_base`` offsets conversation ids so chunked generation
+    (write_wal_chunked) produces disjoint key spaces."""
     rng = np.random.default_rng(spec.seed)
     turns = 1 + rng.geometric(1.0 / max(spec.mean_turns - 1, 1.0), size=spec.n_convs)
-    conv_ids = np.array([f"conv_{i:07d}" for i in range(spec.n_convs)])
+    conv_ids = np.array([f"conv_{conv_base + i:07d}" for i in range(spec.n_convs)])
 
     # --- inserts: one per (conv, turn), interleaved round-robin so
     # conversations grow over time like a live system.
@@ -244,4 +246,83 @@ def write_wal(spec: WalSpec, wal_dir: str | Path, overwrite: bool = False) -> li
         p = wal_dir / f"seg-{start:012d}.parquet"
         pq.write_table(seg, p, row_group_size=spec.row_group_size)
         paths.append(p)
+    return paths
+
+
+def write_wal_chunked(
+    spec: WalSpec,
+    wal_dir: str | Path,
+    chunk_convs: int = 400_000,
+    overwrite: bool = False,
+) -> list[Path]:
+    """Streaming variant of ``write_wal`` for inputs too big to
+    materialize (the monolithic path holds the full event table plus a
+    re-ordered copy in RAM — ~100 GB at 10^8 events). Conversations are
+    partitioned into chunks of ``chunk_convs``; each chunk is generated
+    with its own derived seed and a disjoint conv-id / op_seq / ts
+    range, perturbed (dups + bounded shuffle) independently, and
+    flushed before the next chunk is built, so peak memory is one
+    chunk. The stream differs from the monolithic generator for the
+    same spec (cross-chunk interleaving and the schema-change point are
+    per-chunk), but carries the same scenario semantics — the engine
+    reconciles every schema transition it meets."""
+    from dataclasses import replace
+
+    wal_dir = Path(wal_dir)
+    if wal_dir.exists():
+        if not overwrite and any(wal_dir.glob("seg-*.parquet")):
+            return sorted(wal_dir.glob("seg-*.parquet"))
+        shutil.rmtree(wal_dir)
+    wal_dir.mkdir(parents=True)
+
+    paths: list[Path] = []
+    row_base = 0
+    seq_base = 0
+    conv_base = 0
+    remaining = spec.n_convs
+    ci = 0
+    while remaining > 0:
+        sub = replace(
+            spec, n_convs=min(chunk_convs, remaining), seed=spec.seed + 7919 * ci
+        )
+        events = generate_events(sub, conv_base=conv_base)
+        m = events.num_rows
+        order = delivery_order(sub, m)
+        delivered = events.take(pa.array(order))
+        del events
+        if seq_base:
+            import pyarrow.compute as pc
+
+            delivered = delivered.set_column(
+                delivered.schema.get_field_index("op_seq"),
+                "op_seq",
+                pc.add(delivered["op_seq"], pa.scalar(seq_base, pa.int64())),
+            )
+            delivered = delivered.set_column(
+                delivered.schema.get_field_index("ts"),
+                "ts",
+                pc.add(
+                    delivered["ts"].cast(pa.int64()),
+                    pa.scalar(seq_base * 1_000_000, pa.int64()),
+                ).cast(pa.timestamp("us")),
+            )
+        n = delivered.num_rows
+        change_at = (
+            seq_base + int(m * sub.schema_change_frac)
+            if sub.schema_change_frac <= 1
+            else 0
+        )
+        for start in range(0, n, spec.seg_size):
+            seg = delivered.slice(start, spec.seg_size)
+            max_seq = pa.compute.max(seg["op_seq"]).as_py()
+            if max_seq is not None and max_seq < change_at:
+                seg = seg.drop_columns(["tool"]).cast(EVENT_SCHEMA_V0)
+            p = wal_dir / f"seg-{row_base + start:012d}.parquet"
+            pq.write_table(seg, p, row_group_size=spec.row_group_size)
+            paths.append(p)
+        row_base += n
+        seq_base += m
+        conv_base += sub.n_convs
+        remaining -= sub.n_convs
+        ci += 1
     return paths

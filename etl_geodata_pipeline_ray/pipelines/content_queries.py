@@ -226,14 +226,35 @@ FROM sc GROUP BY 1
 
 
 def q28_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """Winnowing fingerprints for a stable slice of documents."""
+    """Winnowing fingerprints as equality classes: fp_group = min
+    doc_id sharing the same 64-bit fingerprint (one bucketed shuffle
+    on the fingerprint). Oracle: text-equality classes — identical
+    texts MUST collide (determinism) and distinct texts must not
+    (64-bit injectivity on this corpus; a single edit perturbs ≥1
+    window minimum), so the two partitions coincide. Raw fingerprint
+    values are pinned by test_fingerprint_stability_and_sensitivity."""
+    from ..stages.bucketed import bucketed_apply
+
     ds = _docs(sf_dir, ["doc_id", "text"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pa.compute.less(t["doc_id"], pa.scalar(50))),
-        batch_format="pyarrow",
-    )
     fp = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4))
-    return fp.select_columns(["doc_id", "fingerprint"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["doc_id", "fingerprint"]].copy()
+        g["fp_group"] = g.groupby("fingerprint")["doc_id"].transform("min")
+        return g[["doc_id", "fp_group"]]
+
+    return (
+        bucketed_apply(fp, ["fingerprint"], grp, n_buckets=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+Q28_SQL = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS fp_group
+FROM documents ORDER BY 1
+"""
 
 
 def q29_embedding_near_dupes(sf_dir: str) -> pd.DataFrame:
@@ -324,11 +345,59 @@ def q49_minhash_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def q31_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing: synthetic binary media → actor-pool decode
-    stub → feature table (payload dropped post-decode)."""
-    from ..stages.multimodal import media_feature_pipeline
+    """Multimodal decode plumbing, oracle-checked: binary payloads are
+    built DETERMINISTICALLY from document text bytes (GIMG header with
+    dims derived from doc_id + the utf-8 text as the 'pixel' buffer),
+    decoded by the real actor-pool DecodeImage stage, and the emitted
+    features (header dims, mean byte value, aspect) are recomputed by
+    the oracle from the same text in SQL. px_std stays engine-only
+    (Welford vs two-pass float drift) and is covered by pytest."""
+    import struct
 
-    return media_feature_pipeline(n=64, seed=21).to_pandas()
+    from ..stages.multimodal import _MAGIC, DecodeImage
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_id"], pa.scalar(64))),
+        batch_format="pyarrow",
+    )
+
+    def to_media(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        payloads = [
+            _MAGIC
+            + struct.pack("<HHB", 8 + int(i) % 16, 8 + int(i) % 8, 1)
+            + s.encode("utf-8")
+            for i, s in zip(ids, texts)
+        ]
+        return pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    out = (
+        docs.map_batches(to_media, batch_format="pyarrow")
+        .map_batches(DecodeImage, batch_format="pandas", batch_size=16, concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    return out[["media_id", "dec_width", "dec_height", "px_mean", "aspect"]]
+
+
+Q31_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h, text
+  FROM documents WHERE doc_id < 64),
+b AS (
+  SELECT media_id, w, h,
+         list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS bytes
+  FROM m)
+SELECT media_id,
+       CAST(w AS INTEGER) AS dec_width,
+       CAST(h AS INTEGER) AS dec_height,
+       round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 4) AS px_mean,
+       round(CAST(w AS DOUBLE) / h, 4) AS aspect
+FROM b ORDER BY 1
+"""
 
 
 def q32_frame_sampling(sf_dir: str) -> pd.DataFrame:
@@ -375,10 +444,10 @@ CONTENT_QUERIES = {
     "q25_minhash_near_dupes": (q25_minhash_near_dupes, Q25_SQL),
     "q26_simhash_pairs": (q26_simhash_pairs, Q26_SQL),
     "q27_langid": (q27_langid, Q27_SQL),
-    "q28_fingerprints": (q28_fingerprints, None),
+    "q28_fingerprints": (q28_fingerprints, Q28_SQL),
     "q29_embedding_near_dupes": (q29_embedding_near_dupes, Q29_SQL),
     "q30_ivf_recall": (q30_ivf_recall, Q30_SQL),
-    "q31_media_features": (q31_media_features, None),
+    "q31_media_features": (q31_media_features, Q31_SQL),
     "q32_frame_sampling": (q32_frame_sampling, Q32_SQL),
     "q48_ngram_jaccard": (q48_ngram_jaccard, Q48_SQL),
     "q49_minhash_clusters": (q49_minhash_clusters, None),

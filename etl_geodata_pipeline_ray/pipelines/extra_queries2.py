@@ -285,23 +285,15 @@ EXTRA_QUERIES2["q47_shuffle_join"] = (q47_shuffle_join, Q47_SQL)
 
 
 # ---------------------------------------------------------------- q52
-def q52_cdc_replay_events(sf_dir: str) -> pd.DataFrame:
-    """Flagship CDC replay path, driver-oracle-checked: the WAL is
-    derived DETERMINISTICALLY from the events table (conv_id =
-    user_id, turn_idx = event_id % 25, 'error' events are deletes,
-    LWW on (ts, op_seq=event_id); segments below the midpoint id are
-    written WITHOUT the tool column — exercising mid-stream schema
-    evolution), then replayed through the REAL engine — shard
-    routing, Hive-partitioned delta write, per-shard LWW compaction,
-    manifest-last commit — and the committed lake's final table is
-    compared against a pure-SQL window-function oracle. This closes
-    the round-1 gap where the replay pipeline was only self-asserted
-    against the repo's own oracle module."""
+def _events_lake(sf_dir: str) -> Path:
+    """Build (rebuild) the deterministic events-derived lake used by
+    q52/q53; returns the lake dir. See q52's docstring for the WAL
+    derivation rules."""
     import shutil
 
     import pyarrow.parquet as pq
 
-    from ..cdc.replay import lake_final_table, replay
+    from ..cdc.replay import replay
     from ..cdc.schema import EVENT_SCHEMA
 
     ev = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
@@ -337,6 +329,24 @@ def q52_cdc_replay_events(sf_dir: str) -> pd.DataFrame:
             seg = seg.drop_columns(["tool"])  # pre-schema-change segment
         pq.write_table(seg, wal / f"seg-{lo:012d}.parquet", row_group_size=4096)
     replay(wal, lake, num_shards=16)
+    return lake
+
+
+def q52_cdc_replay_events(sf_dir: str) -> pd.DataFrame:
+    """Flagship CDC replay path, driver-oracle-checked: the WAL is
+    derived DETERMINISTICALLY from the events table (conv_id =
+    user_id, turn_idx = event_id % 25, 'error' events are deletes,
+    LWW on (ts, op_seq=event_id); segments below the midpoint id are
+    written WITHOUT the tool column — exercising mid-stream schema
+    evolution), then replayed through the REAL engine — shard
+    routing, Hive-partitioned delta write, per-shard LWW compaction,
+    manifest-last commit — and the committed lake's final table is
+    compared against a pure-SQL window-function oracle. This closes
+    the round-1 gap where the replay pipeline was only self-asserted
+    against the repo's own oracle module."""
+    from ..cdc.replay import lake_final_table
+
+    lake = _events_lake(sf_dir)
     return lake_final_table(lake).to_pandas()
 
 
@@ -358,3 +368,71 @@ FROM latest WHERE op <> 'D' ORDER BY 1, 2
 """
 
 EXTRA_QUERIES2["q52_cdc_replay_events"] = (q52_cdc_replay_events, Q52_SQL)
+
+
+# ---------------------------------------------------------------- q53
+_Q53_WEIGHTS = {"view": 0.5, "purchase": 2.0, "signup": 1.5, "click": 0.25}
+# dyadic weights: weight x int token count is exact in float64, so the
+# per-conversation sums are order-independent and match SQL bit-for-bit
+
+
+def q53_lake_kpis_events(sf_dir: str) -> pd.DataFrame:
+    """The lake KPI layer (SURVEY §7 step 8 — turn counts, token
+    totals, role entropy, weighted engagement), computed over the
+    events-derived lake (q52) so the WHOLE layer is SQL-oracle-checked:
+    the oracle re-derives the final lake state with a window function
+    and recomputes every KPI from it. Closes the round-1 gap where the
+    KPI layer was rows-only."""
+    from .lake_queries import (
+        conv_engagement_score,
+        conv_role_entropy,
+        conv_turn_counts,
+    )
+
+    lake = _events_lake(sf_dir)
+    counts = conv_turn_counts(lake)
+    ent = conv_role_entropy(lake)
+    eng = conv_engagement_score(lake, role_weights=_Q53_WEIGHTS)
+    out = counts.merge(ent, on="conv_id").merge(eng, on="conv_id")
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+Q53_SQL = r"""
+WITH env AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS op_seq, ts, event_type AS role, props AS text
+  FROM events),
+latest AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                              ORDER BY ts DESC, op_seq DESC) AS rn
+                 FROM env) WHERE rn = 1),
+live AS (SELECT conv_id, role, text FROM latest WHERE op <> 'D'),
+tok AS (SELECT conv_id, role,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM live),
+counts AS (SELECT conv_id, count(*) AS n_turns,
+                  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           FROM tok GROUP BY 1),
+rc AS (SELECT conv_id, role, count(*) AS cnt FROM live GROUP BY 1, 2),
+tot AS (SELECT conv_id, sum(cnt) AS tot FROM rc GROUP BY 1),
+ent AS (SELECT rc.conv_id,
+               round(0.0 - sum((cnt / tot) * ln(cnt / tot)), 4) AS role_entropy
+        FROM rc JOIN tot ON rc.conv_id = tot.conv_id GROUP BY 1),
+wsum AS (SELECT conv_id,
+                sum(CASE role WHEN 'view' THEN 0.5 WHEN 'purchase' THEN 2.0
+                              WHEN 'signup' THEN 1.5 WHEN 'click' THEN 0.25
+                              ELSE 0.0 END * n_tokens) AS raw
+         FROM tok GROUP BY 1),
+norm AS (SELECT conv_id, raw, min(raw) OVER () AS lo, max(raw) OVER () AS hi FROM wsum)
+SELECT c.conv_id, c.n_turns, c.total_tokens, e.role_entropy,
+       round((n.raw - n.lo) / (CASE WHEN n.hi = n.lo THEN 1.0 ELSE n.hi - n.lo END), 6)
+         AS engagement
+FROM counts c JOIN ent e USING (conv_id) JOIN norm n USING (conv_id)
+ORDER BY 1
+"""
+
+EXTRA_QUERIES2["q53_lake_kpis_events"] = (q53_lake_kpis_events, Q53_SQL)

@@ -247,3 +247,22 @@ def test_concurrent_replay_refused(ray_session, tmp_path):
     stats = replay(wal, lake, num_shards=4)
     assert stats["committed_segments"] >= 1
     assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_chunked_wal_replay_matches_oracle(ray_session, tmp_path):
+    """write_wal_chunked (streaming generator for inputs too big to
+    materialize) must replay to the oracle state, including its
+    multiple per-chunk schema transitions."""
+    import pyarrow.parquet as _pq
+
+    from etl_geodata_pipeline_ray.cdc.generator import WalSpec, write_wal_chunked
+
+    spec = WalSpec(
+        n_convs=1500, seed=23, dup_rate=0.08, shuffle_window=150,
+        schema_change_frac=0.5, zipf_s=1.1, seg_size=2000,
+    )
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    paths = write_wal_chunked(spec, wal, chunk_convs=600, overwrite=True)
+    assert len({tuple(_pq.read_schema(p).names) for p in paths}) == 2
+    replay(wal, lake, num_shards=8)
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
