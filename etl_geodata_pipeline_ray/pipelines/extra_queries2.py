@@ -259,15 +259,27 @@ def q47_shuffle_join(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = shuffle_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
+
+    # map-side combiner: partial per-block aggregates shrink the final
+    # groupby's shuffle from the full join output to blocks × 5 rows
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderpriority", as_index=False).agg(
+            n_lines=("l_quantity", "size"),
+            total_qty=("l_quantity", "sum"),
+            sum_disc=("l_discount", "sum"),
+        )
+
     out = (
-        joined.groupby("o_orderpriority")
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
         .aggregate(
-            Count(alias_name="n_lines"),
-            Sum("l_quantity", alias_name="total_qty"),
-            Sum("l_discount", alias_name="sum_disc"),
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("total_qty", alias_name="total_qty"),
+            Sum("sum_disc", alias_name="sum_disc"),
         )
         .to_pandas()
     )
+    out["n_lines"] = out["n_lines"].astype("int64")
     out["total_qty"] = (out["total_qty"] + 0.0).round(2)
     out["sum_disc"] = (out["sum_disc"] + 0.0).round(4)
     return out
