@@ -266,3 +266,18 @@ def test_chunked_wal_replay_matches_oracle(ray_session, tmp_path):
     assert len({tuple(_pq.read_schema(p).names) for p in paths}) == 2
     replay(wal, lake, num_shards=8)
     assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_micro_batched_commits_match_oracle(ray_session, tmp_path):
+    """A backlog above max_bytes_per_commit splits into sequential
+    append-mode commits + trailing compaction; final state must equal
+    the oracle and a re-run must be a no-op."""
+    spec = SCENARIOS["everything"]
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(spec, wal, overwrite=True)
+    st = replay(wal, lake, num_shards=8, max_bytes_per_commit=100_000)
+    assert st.get("micro_batches", 0) >= 2
+    assert "shards_compacted" in st  # trailing compaction ran (rewrite mode)
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+    st2 = replay(wal, lake, num_shards=8, max_bytes_per_commit=100_000)
+    assert st2["committed_segments"] == 0
