@@ -136,3 +136,40 @@ def test_spec_shuffle_join_step(ray_session, con):
     ).df()
     assert out["n_lines"].tolist() == want["n_lines"].tolist()
     assert np.allclose(out["total_qty"], want["total_qty"])
+
+
+def test_shuffle_join_property_random(ray_session):
+    """Property check: shuffle_join == pandas merge on random keyed
+    frames with duplicate keys on both sides and misses each way."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.relational import shuffle_join
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 40, 300),
+                "v": rng.integers(0, 1000, 300),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "rk": rng.integers(20, 60, 120),  # partial key overlap
+                "w": rng.random(120).round(6),
+            }
+        )
+        got = (
+            shuffle_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                on=["k"], right_on=["rk"], n_buckets=7,
+            )
+            .to_pandas().sort_values(["k", "v", "w"]).reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, left_on="k", right_on="rk")[["k", "v", "w"]]
+            .sort_values(["k", "v", "w"]).reset_index(drop=True)
+        )
+        assert got.equals(want), f"trial {trial}: {len(got)} vs {len(want)} rows"
