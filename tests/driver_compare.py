@@ -31,6 +31,11 @@ qs, osql = e.queries(), e.oracle_sql()
 names = sys.argv[2].split(",") if len(sys.argv) > 2 else ["q27_langid","q30_ivf_recall","q37_hll_distinct","q38_paged_source","q39_csv_roundtrip","q44_json_roundtrip"]
 for k in names:
     try:
+        if k not in osql:
+            res = qs[k](sf)
+            n = len(res) if isinstance(res, pd.DataFrame) else getattr(res, "num_rows", None) or res.count()
+            print(f"{k} rows-only rows={n}")
+            continue
         mine, orc = norm(qs[k](sf)), norm(con.execute(osql[k]).df())
         ok_h = vhash(mine)==vhash(orc)
         print(k, "rows", len(mine)==len(orc), "schema", list(mine.columns)==list(orc.columns), "hash", ok_h)

@@ -281,3 +281,18 @@ def test_micro_batched_commits_match_oracle(ray_session, tmp_path):
     assert lake_final_table(lake).equals(oracle_final_state(wal))
     st2 = replay(wal, lake, num_shards=8, max_bytes_per_commit=100_000)
     assert st2["committed_segments"] == 0
+
+
+def test_salting_with_micro_batched_commits(ray_session, tmp_path):
+    """Hot-key salting and micro-batched commits compose: both engage
+    and the final state still equals the oracle."""
+    spec = SCENARIOS["hot_key"]
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(spec, wal, overwrite=True)
+    st = replay(
+        wal, lake, num_shards=8,
+        salt_threshold=20_000, max_bytes_per_commit=100_000,
+    )
+    assert st.get("micro_batches", 0) >= 2
+    assert st["salted_shards"] > 0
+    assert lake_final_table(lake).equals(oracle_final_state(wal))

@@ -173,3 +173,56 @@ def test_shuffle_join_property_random(ray_session):
             .sort_values(["k", "v", "w"]).reset_index(drop=True)
         )
         assert got.equals(want), f"trial {trial}: {len(got)} vs {len(want)} rows"
+
+
+def test_exact_quantiles_distributions(ray_session):
+    """exact_quantiles == np.quantile across distribution shapes
+    (uniform, lognormal heavy tail, low-cardinality discrete)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.aggregates import exact_quantiles
+
+    rng = np.random.default_rng(29)
+    cases = {
+        "uniform": rng.random(30_000),
+        "lognormal": rng.lognormal(0, 2, 30_000),
+        "discrete": rng.integers(0, 7, 30_000).astype(np.float64),
+    }
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    for name, x in cases.items():
+        got = exact_quantiles(
+            ray.data.from_pandas(pd.DataFrame({"x": x})), "x", qs,
+            n_bins=128, max_driver_values=2_000,
+        )
+        want = np.quantile(x, qs)
+        assert np.allclose(got, want, rtol=0, atol=1e-9), (name, got, want)
+
+
+def test_shuffle_join_composite_key(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.relational import shuffle_join
+
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame(
+        {"a": rng.integers(0, 5, 200), "b": rng.integers(0, 5, 200),
+         "v": np.arange(200)}
+    )
+    right = pd.DataFrame(
+        {"x": rng.integers(0, 5, 80), "y": rng.integers(0, 5, 80),
+         "w": np.arange(80) * 10}
+    )
+    got = (
+        shuffle_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     on=["a", "b"], right_on=["x", "y"], n_buckets=5)
+        .to_pandas().sort_values(["a", "b", "v", "w"]).reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on=["a", "b"], right_on=["x", "y"])[["a", "b", "v", "w"]]
+        .sort_values(["a", "b", "v", "w"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
