@@ -88,9 +88,48 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized batch path: shingle strings for ALL docs are
+        # hashed in one pass, affine-permuted as one (n_shingles, 128)
+        # matrix, and per-doc minima come from one minimum.reduceat —
+        # no per-doc numpy round trips (round-1 verdict residue #7).
+        texts = batch["text"].tolist()
+        shingles: list[str] = []
+        offsets = np.empty(len(texts), dtype=np.int64)
+        k = self.shingle_k
+        for i, t in enumerate(texts):
+            offsets[i] = len(shingles)
+            toks = t.split()
+            if len(toks) < k:
+                shingles.append(" ".join(toks) if toks else "")
+            else:
+                shingles.extend(
+                    " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+                )
+        h = pd.util.hash_array(np.array(shingles, dtype=object), hash_key=_HASH_KEY)
+        # chunk along doc boundaries so the (n_shingles, num_perm)
+        # intermediate stays ~64 MB regardless of batch size
+        max_shingles = max(1, (64 << 20) // (8 * self.num_perm))
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        lo_doc = 0
         with np.errstate(over="ignore"):
-            sigs = [self.signature(t) for t in batch["text"]]
-        batch["_sig"] = [s.astype(np.int64) for s in sigs]
+            while lo_doc < len(texts):
+                hi_doc = lo_doc + 1
+                end = len(h) if hi_doc >= len(texts) else offsets[hi_doc]
+                while (
+                    hi_doc < len(texts)
+                    and (len(h) if hi_doc + 1 >= len(texts) else offsets[hi_doc + 1])
+                    - offsets[lo_doc]
+                    <= max_shingles
+                ):
+                    hi_doc += 1
+                start = offsets[lo_doc]
+                end = len(h) if hi_doc >= len(texts) else offsets[hi_doc]
+                vals = h[start:end, None] * self.a[None, :] + self.b[None, :]
+                sigs[lo_doc:hi_doc] = np.minimum.reduceat(
+                    vals, offsets[lo_doc:hi_doc] - start, axis=0
+                )
+                lo_doc = hi_doc
+        batch["_sig"] = list(sigs.astype(np.int64))
         return batch
 
 
