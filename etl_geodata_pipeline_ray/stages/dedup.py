@@ -390,9 +390,38 @@ class SimHasher:
         return int(val)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch[self.output] = np.array(
-            [self._doc(t) for t in batch[self.text_col]], dtype=np.uint64
+        # vectorized batch path: all docs' tokens hashed in one pass,
+        # per-bit ±1 votes summed per doc with one add.reduceat —
+        # bit-identical to the per-doc _doc() path
+        texts = batch[self.text_col].tolist()
+        toks_all: list[str] = []
+        offsets = np.empty(len(texts), dtype=np.int64)
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            offsets[i] = len(toks_all)
+            toks = t.split()
+            counts[i] = len(toks)
+            toks_all.extend(toks)
+        if not toks_all:
+            batch[self.output] = np.zeros(len(texts), dtype=np.int64)
+            return batch
+        h = self._token_hashes(toks_all)
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
         ).astype(np.int64)
+        # empty docs would break reduceat (zero-length slices); clamp
+        # their offsets and zero the result afterwards
+        safe_off = np.minimum(offsets, len(h) - 1)
+        sums = np.add.reduceat(bits, safe_off, axis=0)
+        # reduceat with duplicate/unordered offsets (consecutive empty
+        # docs) returns the single row at that offset — fix by masking
+        score = sums * 2 - counts[:, None]
+        with np.errstate(over="ignore"):
+            vals = (
+                (score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            ).sum(axis=1, dtype=np.uint64)
+        vals[counts == 0] = np.uint64(0)
+        batch[self.output] = vals.astype(np.int64)
         return batch
 
 
