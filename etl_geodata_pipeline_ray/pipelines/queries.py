@@ -410,6 +410,9 @@ def q15_daily_event_stats(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
         .to_pandas()
     )
+    # us resolution matches DuckDB's timestamp unit exactly (values are
+    # identical either way; this removes a dtype-level hash hazard)
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return _round(out, {"total_value": 4})
 
 
@@ -482,7 +485,7 @@ def q19_table_stats(sf_dir: str) -> pd.DataFrame:
         Sum("l_extendedprice", alias_name="total_price"),
     )
     n_supp = len(_read(sf_dir, "lineitem", ["l_suppkey"]).unique("l_suppkey"))
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "n_rows": [row["n_rows"]],
             "first_ship": [pd.Timestamp(row["first_ship"])],
@@ -491,6 +494,9 @@ def q19_table_stats(sf_dir: str) -> pd.DataFrame:
             "n_suppliers": [n_supp],
         }
     )
+    for c in ("first_ship", "last_ship"):
+        out[c] = out[c].astype("datetime64[us]")  # DuckDB timestamp unit
+    return out
 
 
 Q19_SQL = """

@@ -28,7 +28,7 @@ def vhash(df):
     return hashlib.sha256(pd.util.hash_pandas_object(df, index=False).values.tobytes()).hexdigest()
 
 qs, osql = e.queries(), e.oracle_sql()
-names = sys.argv[2].split(",") if len(sys.argv) > 2 else ["q27_langid","q30_ivf_recall","q37_hll_distinct","q38_paged_source","q39_csv_roundtrip","q44_json_roundtrip"]
+names = sys.argv[2].split(",") if len(sys.argv) > 2 else sorted(qs)
 for k in names:
     try:
         if k not in osql:
