@@ -448,3 +448,35 @@ ORDER BY 1
 """
 
 EXTRA_QUERIES2["q53_lake_kpis_events"] = (q53_lake_kpis_events, Q53_SQL)
+
+
+# ---------------------------------------------------------------- q54
+def q54_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Hopping/sliding windows (size 2h, hop 1h) over the event
+    stream — each event lands in exactly two windows; per
+    (event_type, window) counts + value sums. §2.9 added capability;
+    the oracle replicates the expansion with a UNION ALL."""
+    from ..stages.windows import hopping_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = (
+        hopping_window(ds, "ts", size_s=7200, hop_s=3600)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["total_value"] = (out["total_value"] + 0.0).round(4)
+    return out
+
+
+Q54_SQL = """
+WITH w AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events)
+SELECT event_type, window_start, count(*) AS n, round(sum(value), 4) AS total_value
+FROM w GROUP BY 1, 2
+"""
+
+EXTRA_QUERIES2["q54_hopping_window"] = (q54_hopping_window, Q54_SQL)

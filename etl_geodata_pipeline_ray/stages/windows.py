@@ -63,3 +63,42 @@ def session_windows(
         return out[[key, "session_start", "session_end", "n_events"]]
 
     return bucketed_apply(ds, [key], sessions, n_buckets=32)
+
+
+def hopping_window(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    size_s: int,
+    hop_s: int,
+    epoch_us: int = 0,
+) -> ray.data.Dataset:
+    """Hopping (sliding) windows: each event is replicated into every
+    window of length ``size_s`` that covers it, windows starting every
+    ``hop_s`` seconds from ``epoch_us``. Adds ``window_start``
+    (timestamp us); caller aggregates on keys + window_start. Pure
+    vectorized repeat/arange expansion per batch — the flat_map shape
+    (streaming-window custom operator per the task brief; the
+    reference has no windowing, SURVEY §2.9). Fan-out per event =
+    ceil(size/hop)."""
+    assert size_s % hop_s == 0, "size must be a multiple of hop"
+    n_win = size_s // hop_s
+    size_us = np.int64(size_s) * 1_000_000
+    hop_us = np.int64(hop_s) * 1_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        t = ts.astype("datetime64[us]").astype(np.int64) - epoch_us
+        # last window covering t starts at floor(t / hop) * hop; the
+        # preceding n_win-1 hops may also cover it (window_start > t - size)
+        last = (t // hop_us) * hop_us
+        starts = last[:, None] - hop_us * np.arange(n_win, dtype=np.int64)[None, :]
+        cover = starts > (t[:, None] - size_us)
+        idx = np.repeat(np.arange(len(t)), cover.sum(axis=1))
+        win = starts[cover] + epoch_us
+        out = batch.take(pa.array(idx))
+        return out.append_column(
+            "window_start",
+            pa.array(win.astype("datetime64[us]"), type=pa.timestamp("us")),
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")

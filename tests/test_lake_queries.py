@@ -65,3 +65,24 @@ def test_longest_and_engagement(lake):
     assert eng["engagement"].max() == 1.0 and eng["engagement"].min() == 0.0
     bundle = LQ.lake_kpis(lake_dir)
     assert set(bundle) == {"turn_counts", "role_histogram", "role_entropy", "longest", "engagement"}
+
+
+def test_hopping_window_expansion(ray_session):
+    """Each event lands in exactly size/hop windows, and the windows
+    cover the event's timestamp."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.windows import hopping_window
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10:00", "2024-01-01 00:59:59", "2024-01-01 03:00:00"]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"ts": ts, "k": [1, 2, 3]}))
+    out = hopping_window(ds, "ts", size_s=7200, hop_s=3600).to_pandas()
+    assert len(out) == 6  # 2 windows per event
+    for _, r in out.iterrows():
+        w = r["window_start"]
+        assert w <= r["ts"] < w + pd.Timedelta(seconds=7200)
+    assert (out.groupby("k").size() == 2).all()
