@@ -452,3 +452,26 @@ CONTENT_QUERIES = {
     "q48_ngram_jaccard": (q48_ngram_jaccard, Q48_SQL),
     "q49_minhash_clusters": (q49_minhash_clusters, None),
 }
+
+
+# ---------------------------------------------------------------- q55
+def q55_vocab_topk(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary top-20 by token frequency (vectorized explode
+    + partial counts + groupby-sum + deterministic top-k) — the
+    vocab-building aggregation of a training-data pipeline."""
+    from ..stages.text import vocab_counts
+
+    ds = _docs(sf_dir, ["text"])
+    out = vocab_counts(ds).to_pandas().rename(columns={"sum(cnt)": "n"})
+    out = out.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q55_SQL = r"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+"""
+
+CONTENT_QUERIES["q55_vocab_topk"] = (q55_vocab_topk, Q55_SQL)

@@ -175,3 +175,24 @@ def token_stats(ds: ray.data.Dataset, text_col: str, group: str) -> ray.data.Dat
         .groupby(group)
         .aggregate(Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs"))
     )
+
+
+def vocab_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Corpus vocabulary: (token, count) via vectorized explode +
+    per-batch partial counts (the combiner pattern) → one small
+    groupby-sum. The whitespace tokenizer matches token_count_batch /
+    the q21 oracle. Vocabulary building is the classic corpus-level
+    aggregation of a training-data pipeline."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        vc = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {"token": vc["token"], "cnt": pc.cast(vc["token_count"], pa.int64())}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("token").sum("cnt")
