@@ -1,0 +1,131 @@
+"""CLI entry points — the reference's pipelines are CLI-driven
+(``process_layers.py --city X``, ``make_maps.py``); this is the
+equivalent surface for the Ray engine:
+
+    python -m etl_geodata_pipeline_ray replay   <wal> <lake> [opts]
+    python -m etl_geodata_pipeline_ray compact  <lake>
+    python -m etl_geodata_pipeline_ray validate <lake>
+    python -m etl_geodata_pipeline_ray tail     <wal> <lake> [opts]
+    python -m etl_geodata_pipeline_ray run-spec <spec.yaml> [-p k=v ...]
+    python -m etl_geodata_pipeline_ray query    <name> <sf_dir>
+
+The CLI owns its Ray session (init guarded, shutdown on exit); library
+code never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level=logging.ERROR,
+            ignore_reinit_error=True,
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_geodata_pipeline_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("replay", help="replay WAL segments into a lake")
+    pr.add_argument("wal"), pr.add_argument("lake")
+    pr.add_argument("--num-shards", type=int, default=32)
+    pr.add_argument("--mode", choices=["rewrite", "append"], default="rewrite")
+    pr.add_argument("--salt-threshold", type=int, default=512 << 20)
+    pr.add_argument("--max-bytes-per-commit", type=int, default=6 << 30)
+
+    pc_ = sub.add_parser("compact", help="force full compaction of a lake")
+    pc_.add_argument("lake")
+
+    pv = sub.add_parser("validate", help="check lake invariants (I1-I5)")
+    pv.add_argument("lake")
+
+    pt = sub.add_parser("tail", help="continuously ingest a growing WAL")
+    pt.add_argument("wal"), pt.add_argument("lake")
+    pt.add_argument("--num-shards", type=int, default=32)
+    pt.add_argument("--poll-interval-s", type=float, default=1.0)
+    pt.add_argument("--idle-polls", type=int, default=3)
+    pt.add_argument("--mode", choices=["rewrite", "append"], default="append")
+
+    ps = sub.add_parser("run-spec", help="run a YAML pipeline spec")
+    ps.add_argument("spec")
+    ps.add_argument("-p", "--param", action="append", default=[], metavar="K=V")
+    ps.add_argument("--output", help="write result parquet here instead of printing")
+    ps.add_argument("--limit", type=int, default=20)
+
+    pq_ = sub.add_parser("query", help="run a catalog query from __ray_entry__")
+    pq_.add_argument("name"), pq_.add_argument("sf_dir")
+    pq_.add_argument("--limit", type=int, default=20)
+
+    a = p.parse_args(argv)
+    ray = _ray_session()
+    try:
+        if a.cmd == "replay":
+            from .cdc.replay import replay
+
+            print(json.dumps(replay(
+                a.wal, a.lake, num_shards=a.num_shards, mode=a.mode,
+                salt_threshold=a.salt_threshold,
+                max_bytes_per_commit=a.max_bytes_per_commit,
+            )))
+        elif a.cmd == "compact":
+            from .cdc.replay import compact
+
+            print(json.dumps(compact(a.lake)))
+        elif a.cmd == "validate":
+            from .cdc.validate import validate_lake
+
+            res = validate_lake(a.lake)
+            print(json.dumps(res, indent=1))
+            return 0 if res["ok"] else 1
+        elif a.cmd == "tail":
+            from .cdc.tail import tail
+
+            commits = tail(
+                a.wal, a.lake, poll_interval_s=a.poll_interval_s,
+                idle_polls=a.idle_polls, num_shards=a.num_shards, mode=a.mode,
+            )
+            print(json.dumps({"commits": len(commits)}))
+        elif a.cmd == "run-spec":
+            from .pipelines.spec import run_file
+
+            params = dict(kv.split("=", 1) for kv in a.param)
+            ds = run_file(a.spec, **params)
+            if a.output:
+                ds.write_parquet(a.output)
+                print(json.dumps({"written": a.output}))
+            else:
+                df = ds.to_pandas()
+                print(df.head(a.limit).to_string())
+                print(f"[{len(df)} rows]")
+        elif a.cmd == "query":
+            sys.path.insert(0, ".")
+            import __ray_entry__ as e
+
+            res = e.queries()[a.name](a.sf_dir)
+            import pandas as pd
+
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            print(df.head(a.limit).to_string())
+            print(f"[{len(df)} rows]")
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -296,3 +296,30 @@ def test_salting_with_micro_batched_commits(ray_session, tmp_path):
     assert st.get("micro_batches", 0) >= 2
     assert st["salted_shards"] > 0
     assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_validate_lake_invariants(ray_session, tmp_path):
+    """validate_lake passes a committed lake (rewrite AND append mode)
+    and flags a corrupted file."""
+    import pyarrow.parquet as _pq
+
+    from etl_geodata_pipeline_ray.cdc.validate import validate_lake
+
+    spec = SCENARIOS["everything"]
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(spec, wal, overwrite=True)
+    replay(wal, lake, num_shards=8)
+    res = validate_lake(lake)
+    assert res["ok"] and res["files_checked"] >= 8, res
+
+    lake2 = tmp_path / "lake2"
+    replay(wal, lake2, num_shards=8, mode="append", max_segments=2)
+    replay(wal, lake2, num_shards=8, mode="append")
+    assert validate_lake(lake2)["ok"]
+
+    # corrupt one committed file → I5 must fire
+    f = sorted(lake.glob("shard=*/**/*.parquet"))[0]
+    t = _pq.read_table(f)
+    _pq.write_table(t.slice(0, t.num_rows - 1), f)
+    bad = validate_lake(lake)
+    assert not bad["ok"] and any("I5" in v for v in bad["violations"])
