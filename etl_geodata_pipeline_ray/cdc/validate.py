@@ -59,6 +59,8 @@ def validate_lake(lake_dir: str | Path) -> dict:
 
     def check(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
+        # iteration is per FILE (each row = one parquet file to audit),
+        # not per data row; the per-file checks inside are vectorized
         for _, it in batch.iterrows():
             v = []
             t = pq.read_table(it["path"])

@@ -364,6 +364,8 @@ def q31_media_features(sf_dir: str) -> pd.DataFrame:
     def to_media(t: pa.Table) -> pd.DataFrame:
         ids = t["doc_id"].to_numpy()
         texts = t["text"].to_pylist()
+        # per-row struct.pack over a 64-row slice — payload assembly is
+        # inherently per-blob (a real encoder would be too)
         payloads = [
             _MAGIC
             + struct.pack("<HHB", 8 + int(i) % 16, 8 + int(i) % 8, 1)
