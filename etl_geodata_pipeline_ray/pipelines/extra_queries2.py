@@ -480,3 +480,56 @@ FROM w GROUP BY 1, 2
 """
 
 EXTRA_QUERIES2["q54_hopping_window"] = (q54_hopping_window, Q54_SQL)
+
+
+# ---------------------------------------------------------------- q56
+def q56_group_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group quantiles via the composable binned-histogram
+    AggregateFn (p50 + p95 of value per event_type in ONE groupby,
+    alongside Count). The estimator is deterministic (bin midpoint of
+    the order-statistic bin over a fixed global range), so the oracle
+    reproduces it exactly in SQL — no tolerance band."""
+    from ..stages.relational import global_stats
+    from ..stages.sketches import binned_quantile_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    st = global_stats(ds, "value")
+    lo, hi = float(st["min"]), float(st["max"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            binned_quantile_aggregate("value", 0.5, lo, hi, alias_name="p50_est"),
+            binned_quantile_aggregate("value", 0.95, lo, hi, alias_name="p95_est"),
+        )
+        .to_pandas()
+    )
+    out["p50_est"] = (out["p50_est"] + 0.0).round(6)
+    out["p95_est"] = (out["p95_est"] + 0.0).round(6)
+    return out
+
+
+Q56_SQL = """
+WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT event_type,
+         LEAST(CAST(floor((value - lo) / (hi - lo) * 4096) AS BIGINT), 4095) AS bin
+  FROM events, st),
+c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cm,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM c),
+pick AS (
+  SELECT event_type, n,
+         min(CASE WHEN cm > CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN bin END) AS k50,
+         min(CASE WHEN cm > CAST(floor(0.95 * (n - 1)) AS BIGINT) THEN bin END) AS k95
+  FROM cum GROUP BY 1, 2)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(lo + (k50 + 0.5) * (hi - lo) / 4096, 6) AS p50_est,
+       round(lo + (k95 + 0.5) * (hi - lo) / 4096, 6) AS p95_est
+FROM pick, st ORDER BY 1
+"""
+
+EXTRA_QUERIES2["q56_group_quantiles"] = (q56_group_quantiles, Q56_SQL)

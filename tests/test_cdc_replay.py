@@ -323,3 +323,17 @@ def test_validate_lake_invariants(ray_session, tmp_path):
     _pq.write_table(t.slice(0, t.num_rows - 1), f)
     bad = validate_lake(lake)
     assert not bad["ok"] and any("I5" in v for v in bad["violations"])
+
+
+def test_partial_micro_batch_then_resume(ray_session, tmp_path):
+    """Interrupting a micro-batched backlog between batches (simulated
+    by max_segments) and re-running with the same cap converges to the
+    oracle state."""
+    spec = SCENARIOS["everything"]
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    segs = write_wal(spec, wal, overwrite=True)
+    replay(wal, lake, num_shards=8, max_bytes_per_commit=100_000,
+           max_segments=len(segs) // 2)
+    st = replay(wal, lake, num_shards=8, max_bytes_per_commit=100_000)
+    assert st["committed_segments"] == len(segs) - len(segs) // 2
+    assert lake_final_table(lake).equals(oracle_final_state(wal))

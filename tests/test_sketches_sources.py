@@ -89,3 +89,34 @@ def test_connected_components_warns_without_convergence(ray_session):
         warnings.simplefilter("always")
         connected_components(chain, max_rounds=1)
     assert any("not converged" in str(x.message) for x in w)
+
+
+def test_binned_quantile_aggregate_accuracy(ray_session):
+    """Per-group binned quantile lands within one bin width of the
+    exact quantile and composes with other aggregates."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from etl_geodata_pipeline_ray.stages.sketches import binned_quantile_aggregate
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 40_000), "v": rng.normal(10, 3, 40_000)})
+    lo, hi = float(df["v"].min()), float(df["v"].max())
+    out = (
+        ray.data.from_pandas(df)
+        .groupby("g")
+        .aggregate(
+            Count(alias_name="n"),
+            binned_quantile_aggregate("v", 0.5, lo, hi, alias_name="p50"),
+            binned_quantile_aggregate("v", 0.95, lo, hi, alias_name="p95"),
+        )
+        .to_pandas().sort_values("g")
+    )
+    binw = (hi - lo) / 4096
+    for _, r in out.iterrows():
+        sub = df[df["g"] == r["g"]]["v"]
+        assert abs(r["p50"] - sub.quantile(0.5)) <= binw * 2
+        assert abs(r["p95"] - sub.quantile(0.95)) <= binw * 2
+    assert (out["n"].to_numpy() == df.groupby("g").size().sort_index().to_numpy()).all()
