@@ -181,14 +181,43 @@ def shuffle_join(
         + [(rename[n], rtypes[n]) for n in rpayload]
     )
 
+    def _nonnull_keys(t: pa.Table, key_cols: list[str]) -> pa.Table:
+        # SQL join semantics: NULL keys never match. pandas merge would
+        # happily match NaN==NaN, so null-key rows must be dropped
+        # before the bucketed merge (right side always; left side only
+        # for inner joins — a left join keeps them, unmatched).
+        mask = None
+        for k in key_cols:
+            v = pc.is_valid(t[k])
+            mask = v if mask is None else pc.and_(mask, v)
+        return t.filter(mask) if mask is not None else t
+
+    def _bucket_col(t: pa.Table, key_cols: list[str]) -> pa.Array:
+        # hash ARROW-side over a canonical string cast: a pandas-side
+        # hash would see int64 on one side and float64 (null-bearing)
+        # on the other and route equal keys to different buckets
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in key_cols:
+            s = pc.cast(t[k], pa.string()).fill_null("\x00null").to_numpy(
+                zero_copy_only=False
+            )
+            h ^= pd.util.hash_array(s.astype(object), hash_key="graftjoin-hash00") * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+        return pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+
     def widen_left(t: pa.Table) -> pa.Table:
+        if join_type == "inner":
+            t = _nonnull_keys(t, on)
         cols = {n: t[n] for n in lnames}
         for n in rpayload:
             cols[rename[n]] = pa.nulls(t.num_rows, type=rtypes[n])
         cols["_side"] = pa.nulls(t.num_rows, type=pa.int8()).fill_null(0)
+        cols["_bucket"] = _bucket_col(t, on)
         return pa.table(cols)
 
     def widen_right(t: pa.Table) -> pa.Table:
+        t = _nonnull_keys(t, rkeys)
         cols = {}
         for n in lnames:
             if n in on:
@@ -199,7 +228,9 @@ def shuffle_join(
         for n in rpayload:
             cols[rename[n]] = t[n]
         cols["_side"] = pa.nulls(t.num_rows, type=pa.int8()).fill_null(1)
-        return pa.table(cols)
+        return pa.table(
+            {**cols, "_bucket": _bucket_col(pa.table(cols), on)}
+        )
 
     both = left.map_batches(widen_left, batch_format="pyarrow").union(
         right.map_batches(widen_right, batch_format="pyarrow")
@@ -225,9 +256,10 @@ def shuffle_join(
                     pass
         return m
 
-    from .bucketed import bucketed_apply
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return merge_bucket(g.drop(columns=["_bucket"]))
 
-    return bucketed_apply(both, on, merge_bucket, n_buckets=n_buckets)
+    return both.groupby("_bucket").map_groups(run, batch_format="pandas")
 
 
 def smart_join(

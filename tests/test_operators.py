@@ -226,3 +226,31 @@ def test_shuffle_join_composite_key(ray_session):
         .sort_values(["a", "b", "v", "w"]).reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_shuffle_join_null_keys_sql_semantics(ray_session):
+    """NULL join keys must never match (SQL semantics; pandas merge
+    would match NaN==NaN). Inner drops them; left keeps left-side
+    null-key rows unmatched."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.relational import shuffle_join
+
+    left = pd.DataFrame({"k": pd.array([1, 2, None, None], dtype="Int64"),
+                         "v": [10, 20, 30, 40]})
+    right = pd.DataFrame({"rk": pd.array([2, None], dtype="Int64"),
+                          "w": ["b", "n"]})
+    l_ds, r_ds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    inner = shuffle_join(l_ds, r_ds, on=["k"], right_on=["rk"], n_buckets=3).to_pandas()
+    assert len(inner) == 1 and inner.iloc[0]["w"] == "b"
+
+    lj = (
+        shuffle_join(l_ds, r_ds, on=["k"], right_on=["rk"], join_type="left", n_buckets=3)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    assert len(lj) == 4
+    assert lj[lj.v == 20]["w"].iloc[0] == "b"
+    assert lj[lj.v.isin([30, 40])]["w"].isna().all()
