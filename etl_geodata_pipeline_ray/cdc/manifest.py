@@ -152,85 +152,69 @@ def segment_offset(path: str | Path) -> int:
 class LakeLock:
     """Advisory exclusive lock for replay/compact on one lake.
 
-    O_EXCL lock file under _manifests/; contains pid + timestamp + a
-    unique token. A lock is broken ONLY when its holder pid is provably
-    dead (same-host liveness probe) or the file is unreadable and past
-    ``stale_s`` — a merely SLOW writer (>1h replays are plausible at
-    the 10^10-event posture) keeps its lock, so a second writer can
-    never GC the first one's not-yet-manifested files out from under
-    it. ``__exit__`` unlinks the lock only while it still carries this
-    holder's token, so a writer whose lock was legitimately broken
-    cannot delete the new holder's lock on the way out. (Single-node
-    semantics; on a multi-node cluster this becomes a lease in a
-    shared store.) Raises ``LakeLockedError`` on live contention.
+    ``fcntl.flock(LOCK_EX | LOCK_NB)`` on a persistent lock file under
+    ``_manifests/``. The kernel owns the hard guarantees: exclusivity
+    across processes AND across fds within one process, and automatic
+    release when the holder dies — so a dead writer never blocks the
+    lake and there is NO break/steal protocol to race (the previous
+    read-liveness-then-unlink scheme let two waiters that both saw a
+    dead holder interleave into two live holders). A merely SLOW live
+    writer keeps its lock indefinitely (>1h replays are plausible at
+    the 10^10-event posture). The lock file is never unlinked —
+    unlinking while a holder has the inode flocked would let a new
+    acquirer lock a fresh inode at the same path; its JSON body
+    (pid/ts/token) is diagnostics only, rewritten by each holder.
+    (Single-node semantics; on a multi-node cluster this becomes a
+    lease in a shared store.) Raises ``LakeLockedError`` on live
+    contention.
     """
 
     def __init__(self, lake_dir, stale_s: float = 3600.0):
         self.path = Path(lake_dir) / MANIFEST_DIR / "_replay.lock"
-        self.stale_s = stale_s
+        self.stale_s = stale_s  # kept for API compat; flock needs no staleness
         self.token = uuid.uuid4().hex
-
-    @staticmethod
-    def _pid_alive(pid) -> bool:
-        if not isinstance(pid, int) or pid <= 0:
-            return False
-        try:
-            os.kill(pid, 0)
-            return True
-        except ProcessLookupError:
-            return False
-        except PermissionError:
-            return True  # exists, owned by someone else
+        self._fd: int | None = None
 
     def __enter__(self):
+        import fcntl
         import time
 
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        for _ in range(3):
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    json.dump(
-                        {"pid": os.getpid(), "ts": time.time(), "token": self.token}, f
-                    )
-                return self
-            except FileExistsError:
-                try:
-                    with open(self.path) as f:
-                        held = json.load(f)
-                    age = time.time() - held.get("ts", 0)
-                except (OSError, ValueError):
-                    held, age = {}, self.stale_s + 1
-                if self._pid_alive(held.get("pid")):
-                    raise LakeLockedError(
-                        f"lake is locked by live pid {held.get('pid')} "
-                        f"({age:.0f}s ago); concurrent replay/compact refused"
-                    )
-                if held and age <= self.stale_s and "pid" in held:
-                    # dead holder: break immediately
-                    pass
-                elif age <= self.stale_s:
-                    raise LakeLockedError(
-                        "lake lock unreadable and not yet stale; refusing"
-                    )
-                try:
-                    self.path.unlink()
-                except OSError:
-                    pass
-        raise LakeLockedError("could not acquire lake lock")
+                held = json.loads(os.read(fd, 4096).decode() or "{}")
+            except (OSError, ValueError):
+                held = {}
+            finally:
+                os.close(fd)
+            age = time.time() - held.get("ts", 0)
+            raise LakeLockedError(
+                f"lake is locked by live pid {held.get('pid')} "
+                f"({age:.0f}s ago); concurrent replay/compact refused"
+            ) from None
+        os.ftruncate(fd, 0)
+        os.write(
+            fd,
+            json.dumps(
+                {"pid": os.getpid(), "ts": time.time(), "token": self.token}
+            ).encode(),
+        )
+        self._fd = fd
+        return self
 
     def __exit__(self, *exc):
-        try:
-            with open(self.path) as f:
-                held = json.load(f)
-            if held.get("token") != self.token:
-                return  # our lock was broken; don't delete the new holder's
-        except (OSError, ValueError):
+        import fcntl
+
+        if self._fd is None:
             return
         try:
-            self.path.unlink()
-        except OSError:
-            pass
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+        finally:
+            os.close(self._fd)
+            self._fd = None
 
 
 class LakeLockedError(RuntimeError):

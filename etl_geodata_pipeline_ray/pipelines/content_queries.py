@@ -167,8 +167,12 @@ def q26_simhash_pairs(sf_dir: str) -> pd.DataFrame:
         lambda t: t.filter(pa.compute.less(t["doc_id"], pa.scalar(200))),
         batch_format="pyarrow",
     )
+    # simhash_near_dupes returns a Dataset (no driver gather of the
+    # unbounded pair set); the distributed histogram is the only thing
+    # that reaches the driver
     pairs = simhash_near_dupes(ds, max_hamming=3, hash_fn="md5")
-    out = pairs.groupby("hamming").size().reset_index(name="n_pairs")
+    out = pairs.groupby("hamming").aggregate(Count(alias_name="n_pairs")).to_pandas()
+    out = out.sort_values("hamming").reset_index(drop=True)
     return out.astype({"hamming": "int64", "n_pairs": "int64"})
 
 
@@ -315,7 +319,8 @@ def q48_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import ngram_jaccard_pairs
 
     ds = _docs(sf_dir, ["doc_id", "lang", "text"])
-    return ngram_jaccard_pairs(ds, block_col="lang", n=3, threshold=0.5)
+    out = ngram_jaccard_pairs(ds, block_col="lang", n=3, threshold=0.5).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 Q48_SQL = r"""
@@ -339,9 +344,12 @@ def q49_minhash_clusters(sf_dir: str) -> pd.DataFrame:
     """MinHash near-duplicate CLUSTERS: exact-Jaccard-verified edges →
     Dataset-resident min-label-propagation connected components
     (rows-only: transitive closure is not SQL-expressible; the edge
-    set itself is oracle-checked by q25)."""
+    set itself is oracle-checked by q25). The operator returns a
+    Dataset end to end (sinkable via ``write_groups_lake`` at scale);
+    this small catalog result is gathered only for the driver check."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return minhash_dedup_groups(ds, threshold=0.8)
+    out = minhash_dedup_groups(ds, threshold=0.8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q31_media_features(sf_dir: str) -> pd.DataFrame:

@@ -5,6 +5,7 @@ gravity weighting (J5 + A7), quantile binning (O4 + A10)."""
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -325,7 +326,9 @@ def _events_lake(sf_dir: str) -> Path:
         },
         schema=EVENT_SCHEMA,
     )
-    root = Path("/tmp/graft_q52") / Path(sf_dir).name
+    # per-process root: two concurrent runs (e.g. bench + a driver
+    # compare) must not rmtree each other's WAL/lake mid-replay
+    root = Path("/tmp/graft_q52") / f"{Path(sf_dir).name}-pid{os.getpid()}"
     wal, lake = root / "wal", root / "lake"
     shutil.rmtree(root, ignore_errors=True)
     wal.mkdir(parents=True)

@@ -30,7 +30,6 @@ from ..stages.relational import (
     smart_join,
     latest_per_key,
     minmax_normalize,
-    semi_anti_join,
     topk,
 )
 from ..stages.windows import tumbling_window
@@ -266,9 +265,14 @@ GROUP BY o_orderpriority
 
 # ---------------------------------------------------------------- q08
 def q08_customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """J7 anti-join via broadcast key set (reference residual mask
-    ``stuttgart_comprehensive_script.py:258``). At 100 TB the key set
-    becomes a Bloom filter; semantics identical."""
+    """J7 anti-join, size-gated (reference residual mask
+    ``stuttgart_comprehensive_script.py:258``): the planner broadcasts
+    the distinct key set only when the filtered orders side has a KNOWN
+    small size; the lazy filter here makes size unknowable, so it takes
+    the distributed ``shuffle_join(join_type='anti')`` path — no driver
+    ``unique()`` of an unbounded key set."""
+    from ..stages.relational import planned_semi_anti_join
+
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(490000.0))).select(
@@ -276,8 +280,17 @@ def q08_customers_without_orders(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    custkeys = big.unique("o_custkey")
-    ds = semi_anti_join(customer, custkeys, "c_custkey", anti=True)
+    ds = planned_semi_anti_join(
+        customer,
+        big,
+        "c_custkey",
+        "o_custkey",
+        anti=True,
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+        ),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    )
     return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_inactive")).to_pandas()
 
 

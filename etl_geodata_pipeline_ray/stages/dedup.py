@@ -166,9 +166,16 @@ def _pairs_from_buckets(
     df: pd.DataFrame, key_cols: list[str], id_col: str, cap: int = 256
 ) -> pd.DataFrame:
     """All (a < b) pairs within each bucket group, fully C-level: a
-    pandas self-merge for groups ≤ ``cap`` members, and a sorted
-    adjacent-chain fallback (linear, connectivity-preserving before
-    verification) for degenerate oversized buckets."""
+    pandas self-merge for groups ≤ ``cap`` members; oversized buckets
+    are split into OVERLAPPING chunks of ``cap`` consecutive (sorted)
+    ids — consecutive chunks share one boundary element — and pairs are
+    expanded within each chunk. Cost is bounded at ~n·cap/2 pairs per
+    oversized bucket (vs n²/2 unbounded); pair recall within an
+    oversized bucket is limited to id-distance < cap, which survives
+    downstream exact verification for the near-identical clusters that
+    actually produce oversized LSH buckets (every within-chunk pair
+    verifies, the shared boundary elements keep chunks connected). A
+    warning counts the affected rows so the recall limit is visible."""
     df = df[key_cols + [id_col]].drop_duplicates()
     sizes = df.groupby(key_cols)[id_col].transform("size")
     small = df[(sizes >= 2) & (sizes <= cap)]
@@ -180,14 +187,25 @@ def _pairs_from_buckets(
         keep = xa < xb
         outs.append(pd.DataFrame({"a": xa[keep], "b": xb[keep]}))
     if len(big):
-        b = big.sort_values(key_cols + [id_col], kind="stable")
-        nxt = b.groupby(key_cols)[id_col].shift(-1)
-        mm = nxt.notna().to_numpy()
-        outs.append(
-            pd.DataFrame(
-                {"a": b[id_col].to_numpy()[mm], "b": nxt.to_numpy()[mm].astype(np.int64)}
-            )
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_pairs_from_buckets: %d rows fall in buckets larger than cap=%d; "
+            "within those buckets only pairs at sorted-id distance < cap are "
+            "proposed (bounded sub-quadratic expansion)",
+            len(big),
+            cap,
         )
+        b = big.sort_values(key_cols + [id_col], kind="stable").copy()
+        pos = b.groupby(key_cols).cumcount().to_numpy()
+        b["_chunk"] = pos // cap
+        boundary = b[(pos % cap == 0) & (pos > 0)].copy()
+        boundary["_chunk"] -= 1  # shared element binds consecutive chunks
+        bb = pd.concat([b, boundary], ignore_index=True)
+        m = bb.merge(bb, on=key_cols + ["_chunk"])
+        xa, xb = m[id_col + "_x"].to_numpy(), m[id_col + "_y"].to_numpy()
+        keep = xa < xb
+        outs.append(pd.DataFrame({"a": xa[keep], "b": xb[keep]}))
     if not outs:
         return _empty_pairs()
     out = pd.concat(outs, ignore_index=True).drop_duplicates()
@@ -306,12 +324,15 @@ def minhash_dedup_groups(
     num_perm: int = 128,
     num_bands: int = 32,
     distributed_cc: bool = True,
-) -> pd.DataFrame:
-    """(id, group) for every doc in a near-duplicate cluster; group =
-    min id of the connected component over exact-Jaccard-verified
-    edges. Default path is fully distributed (Dataset-resident
-    min-label propagation, ``stages/graph.py``); ``distributed_cc=
-    False`` keeps a driver union-find shortcut for tiny graphs."""
+) -> ray.data.Dataset:
+    """DATASET of (id, group) for every doc in a near-duplicate
+    cluster; group = min id of the connected component over
+    exact-Jaccard-verified edges. Default path is fully distributed
+    (Dataset-resident min-label propagation, ``stages/graph.py``) and
+    stays Dataset-resident end to end — sink with ``write_groups_lake``
+    at scale; ``distributed_cc=False`` keeps a driver union-find
+    shortcut for tiny graphs (its result is re-wrapped as a Dataset for
+    a uniform return type)."""
     pairs_ds = minhash_near_dup_pairs(
         ds, id_col=id_col, threshold=threshold, num_perm=num_perm, num_bands=num_bands
     )
@@ -319,13 +340,17 @@ def minhash_dedup_groups(
         from .graph import connected_components
 
         cc = connected_components(pairs_ds)
-        out = cc.rename(columns={"node": id_col, "component": "group"})
-        return out.astype(np.int64).sort_values(id_col).reset_index(drop=True)
+        return cc.map_batches(
+            lambda t: t.rename(columns={"node": id_col, "component": "group"}),
+            batch_format="pandas",
+        )
 
     pairs = pairs_ds.to_pandas()
     if not len(pairs):
-        return pd.DataFrame(
-            {id_col: pd.Series([], dtype=np.int64), "group": pd.Series([], dtype=np.int64)}
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64), "group": pd.Series([], dtype=np.int64)}
+            )
         )
     parent: dict = {}
 
@@ -341,7 +366,33 @@ def minhash_dedup_groups(
             parent[max(rx, ry)] = min(rx, ry)
     rows = [(x, find(x)) for x in parent]
     out = pd.DataFrame(rows, columns=[id_col, "group"]).astype(np.int64)
-    return out.sort_values(id_col).reset_index(drop=True)
+    return ray.data.from_pandas(out.sort_values(id_col).reset_index(drop=True))
+
+
+def write_groups_lake(
+    groups: ray.data.Dataset,
+    path: str,
+    key_col: str = "group",
+    n_partitions: int = 16,
+) -> None:
+    """Lake sink for dedup/cluster outputs: partitioned Parquet keyed
+    by ``key_col % n_partitions`` so a failed run can re-emit
+    per-partition and readers can prune — the cluster analog of the
+    replay lake's shard layout (never one giant file, never a driver
+    gather). The partition column is named ``part`` (no underscore
+    prefix: Arrow dataset discovery skips ``_``-prefixed paths as
+    hidden metadata)."""
+
+    def part(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["part"] = (t[key_col].to_numpy().astype(np.uint64) % np.uint64(n_partitions)).astype(
+            np.int64
+        )
+        return t
+
+    groups.map_batches(part, batch_format="pandas").write_parquet(
+        path, partition_cols=["part"]
+    )
 
 
 # ------------------------------------------------------------ SimHash
@@ -409,12 +460,14 @@ class SimHasher:
         bits = (
             (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
         ).astype(np.int64)
-        # empty docs would break reduceat (zero-length slices); clamp
-        # their offsets and zero the result afterwards
-        safe_off = np.minimum(offsets, len(h) - 1)
-        sums = np.add.reduceat(bits, safe_off, axis=0)
-        # reduceat with duplicate/unordered offsets (consecutive empty
-        # docs) returns the single row at that offset — fix by masking
+        # empty docs have offset == len(h); a zero sentinel row keeps
+        # every offset a valid reduceat index WITHOUT clamping into the
+        # preceding doc's slice (clamping dropped that doc's final
+        # token row — trailing-empty-doc batches hashed wrong)
+        bits = np.vstack([bits, np.zeros((1, 64), dtype=np.int64)])
+        sums = np.add.reduceat(bits, offsets, axis=0)
+        # reduceat with duplicate offsets (consecutive empty docs)
+        # returns the single row at that offset — masked below
         score = sums * 2 - counts[:, None]
         with np.errstate(over="ignore"):
             vals = (
@@ -439,13 +492,15 @@ def simhash_near_dupes(
     bucket_cap: int = 512,
     n_buckets: int = 32,
     hash_fn: str = "fast",
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
     (any pair within Hamming ≤3 of each other shares ≥1 exact band),
     one bucketed shuffle over (band, key), then fully vectorized
     verification: C-level self-merge pair expansion (bucket size capped
     at ``bucket_cap``), XOR, and an unpackbits popcount — no per-pair
-    Python loop."""
+    Python loop. Returns a DATASET of (a, b, hamming), deduped across
+    bands by one more bucketed shuffle — pair sets are unbounded on
+    duplicate-heavy corpora, so nothing here gathers to the driver."""
     from .bucketed import bucketed_apply
 
     hashed = ds.map_batches(
@@ -482,20 +537,21 @@ def simhash_near_dupes(
             }
         )
 
-    pairs = (
-        bucketed_apply(
-            hashed.map_batches(bands, batch_format="pandas"),
-            ["band", "key"],
-            verify,
-            n_buckets=n_buckets,
-        )
-        .to_pandas()
+    pairs = bucketed_apply(
+        hashed.map_batches(bands, batch_format="pandas"),
+        ["band", "key"],
+        verify,
+        n_buckets=n_buckets,
     )
-    if "a" not in pairs.columns or not len(pairs):
-        return pd.DataFrame(
-            {c: pd.Series([], dtype="int64") for c in ("a", "b", "hamming")}
-        )
-    return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    # the same pair can surface from multiple bands — dedup stays
+    # distributed (hash-bucketed on the pair key), mirroring the
+    # MinHash path instead of a driver-side drop_duplicates
+    return bucketed_apply(
+        pairs,
+        ["a", "b"],
+        lambda g: g.drop_duplicates(["a", "b"]),
+        n_buckets=n_buckets,
+    )
 
 
 # ----------------------------------------------------- n-gram Jaccard
@@ -506,39 +562,60 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-) -> pd.DataFrame:
+    block_cap: int = 2048,
+) -> ray.data.Dataset:
     """Exact word-n-gram Jaccard similarity for all pairs WITHIN a
     blocking key (e.g. language) — the exact counterpart MinHash
-    approximates; quadratic per block, so blocks must be bounded."""
+    approximates; quadratic per block by construction. Blocks larger
+    than ``block_cap`` are NOT expanded all-pairs (one
+    block-is-all-English-docs call would be O(n²) in a single task):
+    they fall back to overlapping chunks of ``block_cap`` consecutive
+    ids (bounded ~n·cap pair cost) with a loud warning counting the
+    dropped cross-chunk comparisons — use MinHash (the documented
+    default) when blocks can be unbounded. Returns a DATASET of
+    (a, b, jaccard)."""
 
     def block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)  # canonical a < b pair order
-        texts = g[text_col].tolist()
-        ids = g[id_col].to_numpy()
-        sets = []
-        for t in texts:
-            toks = t.split()
-            sets.append(
-                {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
-            )
-        xa, xb, js = [], [], []
-        for i in range(len(sets)):
-            for j in range(i + 1, len(sets)):
-                inter = len(sets[i] & sets[j])
-                if not inter:
-                    continue
-                jac = inter / len(sets[i] | sets[j])
-                if jac >= threshold:
-                    xa.append(ids[i]), xb.append(ids[j]), js.append(round(jac, 4))
-        return pd.DataFrame({"a": xa, "b": xb, "jaccard": js})
+        chunks: list[pd.DataFrame]
+        if len(g) > block_cap:
+            import logging
 
-    return (
-        ds.groupby(block_col)
-        .map_groups(block, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: block of %d rows exceeds block_cap=%d; "
+                "only pairs within sorted-id distance < cap are compared "
+                "(exact all-pairs needs bounded blocks — use MinHash instead)",
+                len(g),
+                block_cap,
+            )
+            chunks = [
+                g.iloc[s : s + block_cap + 1]
+                for s in range(0, len(g) - 1, block_cap)
+            ]
+        else:
+            chunks = [g]
+        xa, xb, js = [], [], []
+        for ch in chunks:
+            texts = ch[text_col].tolist()
+            ids = ch[id_col].to_numpy()
+            sets = []
+            for t in texts:
+                toks = t.split()
+                sets.append(
+                    {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
+                )
+            for i in range(len(sets)):
+                for j in range(i + 1, len(sets)):
+                    inter = len(sets[i] & sets[j])
+                    if not inter:
+                        continue
+                    jac = inter / len(sets[i] | sets[j])
+                    if jac >= threshold:
+                        xa.append(ids[i]), xb.append(ids[j]), js.append(round(jac, 4))
+        out = pd.DataFrame({"a": xa, "b": xb, "jaccard": js})
+        return out.drop_duplicates(["a", "b"])  # chunk-overlap rows repeat
+
+    return ds.groupby(block_col).map_groups(block, batch_format="pandas")
 
 
 # ------------------------------------------------- embedding near-dup

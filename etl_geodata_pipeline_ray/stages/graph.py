@@ -39,13 +39,20 @@ def connected_components(
     edges: pd.DataFrame | ray.data.Dataset,
     max_rounds: int = 25,
     n_buckets: int = 16,
-) -> pd.DataFrame:
-    """``edges``: columns (a, b) int64. Returns (node, component) where
-    component = min node id reachable; only nodes appearing in edges
-    are returned. Warns (loudly) if ``max_rounds`` is hit before
-    convergence — with pointer jumping that means diameter > 2^rounds."""
+) -> ray.data.Dataset:
+    """``edges``: columns (a, b) int64. Returns a DATASET of (node,
+    component) where component = min node id reachable; only nodes
+    appearing in edges are returned. The result stays Dataset-resident
+    so 10^9-node label tables never touch the driver — callers sink it
+    with ``write_parquet`` (or ``write_groups_lake``) at scale and
+    ``to_pandas()`` only small results. Warns (loudly) if
+    ``max_rounds`` is hit before convergence — with pointer jumping
+    that means diameter > 2^rounds."""
     from .relational import shuffle_join
 
+    empty = pd.DataFrame(
+        {"node": pd.Series([], dtype=np.int64), "component": pd.Series([], dtype=np.int64)}
+    )
     if isinstance(edges, pd.DataFrame):
         edges = ray.data.from_pandas(
             edges[["a", "b"]].astype(np.int64)
@@ -70,9 +77,7 @@ def connected_components(
     ).materialize()
     n_edges = und.count()
     if n_edges == 0:
-        return pd.DataFrame(
-            {"node": pd.Series([], dtype=np.int64), "component": pd.Series([], dtype=np.int64)}
-        )
+        return ray.data.from_pandas(empty)
     # adapt bucket count to graph size: per-round cost on small graphs
     # is all fixed task/sort overhead, which scales with bucket count
     n_buckets = max(4, min(n_buckets, int(np.ceil(n_edges / 20_000))))
@@ -180,5 +185,12 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    out = labels.to_pandas().rename(columns={"label": "component"})
-    return out.astype(np.int64).sort_values("node").reset_index(drop=True)
+    return labels.map_batches(
+        lambda t: pd.DataFrame(
+            {
+                "node": t["node"].to_numpy().astype(np.int64),
+                "component": t["label"].to_numpy().astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )

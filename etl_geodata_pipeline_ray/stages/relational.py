@@ -115,16 +115,19 @@ def shuffle_join_schema(
     on: list[str],
     right_on: list[str] | None = None,
     suffix: str = "_r",
+    join_type: str = "inner",
 ) -> pa.Schema:
     """Output schema of ``shuffle_join`` for the given inputs — lets
     callers chain joins without schema probes (a probe on a lazy
     shuffle output executes the whole upstream pipeline)."""
     rkeys = right_on or on
     lnames = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    if join_type in ("semi", "anti"):
+        return pa.schema([pa.field(n, ltypes[n]) for n in lnames])
     rpayload = [n for n in rschema.names if n not in rkeys]
     rename = {n: (n + suffix if n in lnames else n) for n in rpayload}
     rtypes = dict(zip(rschema.names, rschema.types))
-    ltypes = dict(zip(lschema.names, lschema.types))
     return pa.schema(
         [pa.field(n, ltypes[n]) for n in lnames]
         + [pa.field(rename[n], rtypes[n]) for n in rpayload]
@@ -148,8 +151,13 @@ def shuffle_join(
     merged per bucket with one vectorized pandas merge. The workhorse
     large-large path (reference spatial joins, ``make_maps.py:116-118``)
     — no join aggregator actors, so it cannot livelock at low CPU
-    counts, and skew is bounded by the hash. ``join_type``: inner|left.
-    Right-side non-key columns colliding with left names get
+    counts, and skew is bounded by the hash. ``join_type``:
+    inner|left|semi|anti. semi/anti return LEFT columns only with
+    EXISTS / NOT-EXISTS semantics (the scale path for J7 residual
+    selection when the key set is too big to broadcast: only the
+    right-side KEY columns are shuffled); SQL NULL rules apply — a
+    null left key never matches, so it is dropped by semi and kept by
+    anti. Right-side non-key columns colliding with left names get
     ``suffix``. Pass ``left_schema``/``right_schema`` (Arrow) whenever
     known — a schema probe on a lazy shuffle output otherwise executes
     the whole upstream pipeline just to peek one block."""
@@ -172,7 +180,11 @@ def shuffle_join(
     lschema = left_schema or _arrow_schema(left)
     rschema = right_schema or _arrow_schema(right)
     lnames = list(lschema.names)
-    rpayload = [n for n in rschema.names if n not in rkeys]
+    # semi/anti ship only the right KEY columns through the shuffle
+    rpayload = (
+        [] if join_type in ("semi", "anti")
+        else [n for n in rschema.names if n not in rkeys]
+    )
     rename = {n: (n + suffix if n in lnames else n) for n in rpayload}
     rtypes = dict(zip(rschema.names, rschema.types))
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -207,8 +219,8 @@ def shuffle_join(
         return pa.array((h % np.uint64(n_buckets)).astype(np.int64))
 
     def widen_left(t: pa.Table) -> pa.Table:
-        if join_type == "inner":
-            t = _nonnull_keys(t, on)
+        if join_type in ("inner", "semi"):
+            t = _nonnull_keys(t, on)  # null keys never match (anti KEEPS them)
         cols = {n: t[n] for n in lnames}
         for n in rpayload:
             cols[rename[n]] = pa.nulls(t.num_rows, type=rtypes[n])
@@ -241,7 +253,12 @@ def shuffle_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][[c for c in out_cols if c not in rpay_cols]]
         r = g[g["_side"] == 1][on + rpay_cols]
-        m = l.merge(r, on=on, how="inner" if join_type == "inner" else "left")
+        if join_type in ("semi", "anti"):
+            m = l.merge(r.drop_duplicates(on), on=on, how="left", indicator="_m")
+            want = "both" if join_type == "semi" else "left_only"
+            m = m[m["_m"] == want].drop(columns=["_m"])
+        else:
+            m = l.merge(r, on=on, how="inner" if join_type == "inner" else "left")
         m = m[out_cols]
         # dtype-stabilize: pandas merges involving empty buckets upcast
         # int64 -> float64, which would hash join keys differently in
@@ -280,17 +297,22 @@ def smart_join(
     side' — measured ~4x faster than Dataset.join at testdata scales.
     The byte threshold guards the driver/object-store against a
     narrow-but-huge or wide right side that the row threshold alone
-    would happily materialize."""
-    n_right = right.count()
-    sz = right.size_bytes() or 0
-    if n_right <= broadcast_threshold_rows and sz <= broadcast_threshold_bytes:
-        small = pa.concat_tables(
-            [ray.get(ref) for ref in right.to_arrow_refs()],
-            promote_options="permissive",
-        )
-        return broadcast_join(
-            left, small, keys=on, join_type=join_type, right_keys=right_on
-        )
+    would happily materialize. UNKNOWN size (lazy non-parquet inputs
+    report ``size_bytes() is None``) is treated as too big — broadcast
+    eligibility must be proven, not defaulted, and probing ``count()``
+    on a lazy dataset would execute its whole upstream pipeline just to
+    plan the join."""
+    sz = right.size_bytes()
+    if sz is not None and 0 < sz <= broadcast_threshold_bytes:
+        n_right = right.count()
+        if n_right <= broadcast_threshold_rows:
+            small = pa.concat_tables(
+                [ray.get(ref) for ref in right.to_arrow_refs()],
+                promote_options="permissive",
+            )
+            return broadcast_join(
+                left, small, keys=on, join_type=join_type, right_keys=right_on
+            )
     return shuffle_join(
         left, right, on=on, right_on=right_on, join_type=join_type,
         n_buckets=num_partitions,
@@ -305,16 +327,54 @@ def semi_anti_join(
 ) -> ray.data.Dataset:
     """Semi/anti join by broadcasting the key set and filtering inside
     map_batches (J7; reference residual selection
-    ``stuttgart_comprehensive_script.py:258``)."""
-    ref = ray.put(pa.array(key_values))
+    ``stuttgart_comprehensive_script.py:258``). EXISTS / NOT-EXISTS
+    semantics (matching ``shuffle_join``'s semi/anti): nulls in the key
+    set are ignored, a null left key matches nothing — semi drops it,
+    anti keeps it."""
+    arr = pa.array(key_values)
+    ref = ray.put(arr.drop_null())
 
     def flt(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch[column], value_set=ray.get(ref))
+        mask = pc.fill_null(pc.is_in(batch[column], value_set=ray.get(ref)), False)
         if anti:
             mask = pc.invert(mask)
         return batch.filter(mask)
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def planned_semi_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_col: str,
+    right_col: str,
+    anti: bool = False,
+    broadcast_threshold_bytes: int = 256 << 20,
+    n_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Size-gated semi/anti planner (the ``smart_join`` rule applied to
+    J7): broadcast the distinct key set only when the right side's size
+    is KNOWN and small; otherwise — including lazy inputs whose size is
+    unknowable without executing them — run the distributed
+    ``shuffle_join`` semi/anti, which never pulls the key set to the
+    driver. Both paths implement EXISTS / NOT-EXISTS semantics, so the
+    planner choice is invisible to results."""
+    sz = right.size_bytes()
+    if sz is not None and 0 < sz <= broadcast_threshold_bytes:
+        keys = right.unique(right_col)
+        return semi_anti_join(left, keys, left_col, anti=anti)
+    return shuffle_join(
+        left,
+        right,
+        on=[left_col],
+        right_on=[right_col],
+        join_type="anti" if anti else "semi",
+        n_buckets=n_buckets,
+        left_schema=left_schema,
+        right_schema=right_schema,
+    )
 
 
 def latest_per_key(

@@ -202,13 +202,12 @@ def test_schema_widening_across_segments(ray_session, tmp_path):
 
 
 def test_concurrent_replay_refused(ray_session, tmp_path):
-    """A live lock on the lake makes a second replay fail loudly; a
-    DEAD holder's lock is broken (liveness probe), while a merely slow
-    live holder keeps its lock no matter how old — and a writer whose
-    lock was broken must not delete the new holder's lock on exit."""
-    import json
-    import os
+    """A live flock on the lake makes a second replay fail loudly —
+    in-process (second fd) AND from another OS process; a holder that
+    DIES releases the lock automatically (kernel-owned, no break
+    protocol); a non-holder's __exit__ is a no-op on the live lock."""
     import subprocess
+    import sys
 
     from etl_geodata_pipeline_ray.cdc import manifest as mf
     from etl_geodata_pipeline_ray.cdc.manifest import LakeLockedError
@@ -223,26 +222,41 @@ def test_concurrent_replay_refused(ray_session, tmp_path):
         with pytest.raises(LakeLockedError, match="locked by live pid"):
             replay(wal, lake, num_shards=4)
 
-    lock_path = lake / "_manifests" / "_replay.lock"
+        # cross-process contention: a second OS process must be refused
+        rc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys;"
+                "from etl_geodata_pipeline_ray.cdc.manifest import LakeLock, LakeLockedError\n"
+                "try:\n"
+                f"    LakeLock({str(lake)!r}).__enter__(); sys.exit(1)\n"
+                "except LakeLockedError:\n"
+                "    sys.exit(0)\n",
+            ],
+            cwd="/root/repo",
+        )
+        assert rc.returncode == 0, "second process acquired a held lock"
 
-    # dead-holder lock → broken even when young
-    proc = subprocess.Popen(["true"])
-    proc.wait()
-    lock_path.write_text(json.dumps({"pid": proc.pid, "ts": 9e12, "token": "x"}))
+        # a non-holder instance exiting must not release the live lock
+        bystander = mf.LakeLock(lake)
+        bystander.__exit__(None, None, None)
+        with pytest.raises(LakeLockedError, match="locked by live pid"):
+            mf.LakeLock(lake).__enter__()
+
+    # dead holder (process that flocked and exited) → auto-released
+    rc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from etl_geodata_pipeline_ray.cdc.manifest import LakeLock;"
+            f"LakeLock({str(lake)!r}).__enter__()",  # exits without __exit__
+        ],
+        cwd="/root/repo",
+    )
+    assert rc.returncode == 0
     with mf.LakeLock(lake):
         pass
-
-    # old-but-LIVE holder → NOT broken (slow writer keeps the lake)
-    lock_path.write_text(json.dumps({"pid": os.getpid(), "ts": 0, "token": "y"}))
-    with pytest.raises(LakeLockedError, match="locked by live pid"):
-        mf.LakeLock(lake).__enter__()
-
-    # broken-lock holder exiting must not unlink the new holder's lock
-    stale = mf.LakeLock(lake)
-    stale.token = "not-the-current-token"
-    stale.__exit__(None, None, None)
-    assert lock_path.exists(), "exit of a broken lock deleted the live lock"
-    lock_path.unlink()
 
     stats = replay(wal, lake, num_shards=4)
     assert stats["committed_segments"] >= 1

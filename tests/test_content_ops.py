@@ -44,9 +44,13 @@ def test_exact_dedup_keeps_min_id(docs_ds):
 
 
 def test_minhash_finds_planted_near_dupes(docs_ds):
+    import ray.data
+
     from etl_geodata_pipeline_ray.stages.dedup import minhash_dedup_groups
 
-    groups = minhash_dedup_groups(docs_ds, threshold=0.7)
+    groups_ds = minhash_dedup_groups(docs_ds, threshold=0.7)
+    assert isinstance(groups_ds, ray.data.Dataset), "dedup terminal must stay a Dataset"
+    groups = groups_ds.to_pandas()
     gmap = dict(zip(groups["doc_id"], groups["group"]))
     assert gmap.get(300) == 0 and gmap.get(301) == 1
     assert gmap.get(302) == 2, "near-dup with ~90% shingle overlap missed"
@@ -56,11 +60,38 @@ def test_minhash_finds_planted_near_dupes(docs_ds):
 
 
 def test_simhash_flags_planted_dupes(docs_ds):
+    import ray.data
+
     from etl_geodata_pipeline_ray.stages.dedup import simhash_near_dupes
 
-    pairs = simhash_near_dupes(docs_ds, max_hamming=3)
+    pairs_ds = simhash_near_dupes(docs_ds, max_hamming=3)
+    assert isinstance(pairs_ds, ray.data.Dataset), "pair terminal must stay a Dataset"
+    pairs = pairs_ds.to_pandas()
     got = set(zip(pairs["a"], pairs["b"]))
     assert (0, 300) in got and (1, 301) in got
+    assert not pairs.duplicated(["a", "b"]).any(), "cross-band pair dedup failed"
+
+
+def test_simhash_batch_matches_per_doc_with_empty_docs(ray_session):
+    """Regression (r2 ADVICE): a batch ENDING with an empty-text doc
+    clamped reduceat offsets into the preceding doc's slice, dropping
+    its final token row from the vote sum."""
+    from etl_geodata_pipeline_ray.stages.dedup import SimHasher
+
+    sh = SimHasher()
+    for texts in (
+        ["alpha beta gamma delta epsilon", ""],
+        ["", "a b c", ""],
+        ["a b", "", "c"],
+        ["", "", ""],
+        ["x y z", "x y z w", ""],
+    ):
+        batch = pd.DataFrame({"text": texts})
+        out = sh(batch.copy())["simhash"].tolist()
+        ref = [
+            int(np.int64(np.uint64(sh._doc(t)))) if t.split() else 0 for t in texts
+        ]
+        assert out == ref, (texts, out, ref)
 
 
 def test_ngram_jaccard_exact_pairs(ray_session):
@@ -70,12 +101,42 @@ def test_ngram_jaccard_exact_pairs(ray_session):
 
     df = _docs_with_dupes()
     df["block"] = 0
-    pairs = ngram_jaccard_pairs(
+    pairs_ds = ngram_jaccard_pairs(
         ray.data.from_pandas(df), "block", threshold=0.5
     )
+    assert isinstance(pairs_ds, ray.data.Dataset)
+    pairs = pairs_ds.to_pandas()
     got = {(a, b): j for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"])}
     assert got.get((0, 300)) == 1.0
     assert 0.5 <= got.get((2, 302), 0) < 1.0
+
+
+def test_ngram_jaccard_oversized_block_bounded(ray_session):
+    """A block larger than block_cap must be pair-bounded (~n·cap, not
+    n²/2) yet still find near-dup pairs within cap id-distance."""
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.dedup import ngram_jaccard_pairs
+
+    n, cap = 300, 64
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            # consecutive ids share all but one token → jaccard ≈ high
+            "text": [base + f" tok{i // 2}" for i in range(n)],
+            "block": 0,
+        }
+    )
+    pairs = ngram_jaccard_pairs(
+        ray.data.from_pandas(df), "block", threshold=0.3, block_cap=cap
+    ).to_pandas()
+    # every (2k, 2k+1) planted pair is within cap distance → found
+    planted = {(2 * k, 2 * k + 1) for k in range(n // 2)}
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert planted <= got
+    # bounded: far fewer than the n²/2 ≈ 45k all-pairs comparisons emit
+    assert len(pairs) < n * cap, f"pair count {len(pairs)} not bounded by n*cap"
 
 
 def test_langid_markers(ray_session):
@@ -177,20 +238,47 @@ def test_distributed_connected_components(ray_session):
 
     from etl_geodata_pipeline_ray.stages.graph import connected_components
 
+    import ray.data
+
     # chain 1-2-3-4, triangle 10-11-12, isolated pair 20-21
     edges = pd.DataFrame(
         {"a": [1, 2, 3, 10, 11, 10, 20], "b": [2, 3, 4, 11, 12, 12, 21]}
     )
-    cc = connected_components(edges)
+    cc_ds = connected_components(edges)
+    assert isinstance(cc_ds, ray.data.Dataset), "CC labels must stay a Dataset"
+    cc = cc_ds.to_pandas()
     got = dict(zip(cc["node"], cc["component"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_groups_lake_sink_partitioned(ray_session, tmp_path):
+    """Cluster output lands as hash-partitioned parquet (resumable,
+    prunable) and round-trips exactly."""
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.dedup import write_groups_lake
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(100, dtype=np.int64), "group": (np.arange(100) % 7).astype(np.int64)}
+    )
+    out = tmp_path / "groups_lake"
+    write_groups_lake(ray.data.from_pandas(df), str(out), n_partitions=4)
+    parts = sorted(p.name for p in out.iterdir() if p.is_dir())
+    assert len(parts) == 4 and all(p.startswith("part=") for p in parts)
+    back = (
+        ray.data.read_parquet(str(out))
+        .to_pandas()[["doc_id", "group"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back.astype(np.int64), df)
 
 
 def test_minhash_distributed_cc_matches_unionfind(docs_ds):
     from etl_geodata_pipeline_ray.stages.dedup import minhash_dedup_groups
 
-    uf = minhash_dedup_groups(docs_ds, threshold=0.7, distributed_cc=False)
-    cc = minhash_dedup_groups(docs_ds, threshold=0.7)  # distributed default
+    uf = minhash_dedup_groups(docs_ds, threshold=0.7, distributed_cc=False).to_pandas()
+    cc = minhash_dedup_groups(docs_ds, threshold=0.7).to_pandas()  # distributed default
     assert sorted(map(tuple, uf.values.tolist())) == sorted(map(tuple, cc.values.tolist()))
 
 
