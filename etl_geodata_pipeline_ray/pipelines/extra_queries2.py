@@ -536,3 +536,33 @@ FROM pick, st ORDER BY 1
 """
 
 EXTRA_QUERIES2["q56_group_quantiles"] = (q56_group_quantiles, Q56_SQL)
+
+
+# ---------------------------------------------------------------- q57
+def q57_spec_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Config-driven pipeline surface, driver-oracle-checked (S2 + M14
+    + §2.10 — the reference's strongest idea: YAML rules drive the
+    pipeline, ``process_layers.py:42-47``, template method
+    ``core/base_analysis.py:109-120``): the pipeline is built ENTIRELY
+    from ``configs/part_categorize.yaml`` via the step registry
+    (read → rule_categorize → groupby_agg → stamp), and the oracle is
+    the equivalent CASE/GROUP BY SQL — so the spec loader, template
+    resolution, registry dispatch, and the stamp lineage column are
+    all inside the hash check."""
+    from .spec import run_file
+
+    cfg = Path(__file__).resolve().parents[2] / "configs" / "part_categorize.yaml"
+    out = run_file(cfg, sf_dir=sf_dir).to_pandas()
+    return out.sort_values("category").reset_index(drop=True)
+
+
+Q57_SQL = """
+SELECT category, count(*) AS n, 'part' AS source_layer FROM (
+  SELECT CASE WHEN p_type IN ('ECONOMY', 'SMALL') THEN 'budget'
+              WHEN p_type IN ('PROMO', 'LARGE') THEN 'premium'
+              WHEN p_type = 'STANDARD' THEN 'standard'
+              ELSE 'other' END AS category
+  FROM part) GROUP BY 1 ORDER BY 1
+"""
+
+EXTRA_QUERIES2["q57_spec_pipeline"] = (q57_spec_pipeline, Q57_SQL)
