@@ -259,7 +259,24 @@ def q47_shuffle_join(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = shuffle_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
+    joined = shuffle_join(
+        li,
+        orders,
+        on=["l_orderkey"],
+        right_on=["o_orderkey"],
+        # explicit schemas: a schema probe on the lazy inputs costs a
+        # sampling execution (~2.4s of q47's round-2 wall)
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
 
     # map-side combiner: partial per-block aggregates shrink the final
     # groupby's shuffle from the full join output to blocks × 5 rows
