@@ -131,38 +131,39 @@ def _read_unified(pending: list[str]) -> tuple[ray.data.Dataset, pa.Schema]:
 def _salt_split_task(
     delta_files: list[str], k: int, num_shards: int, out_dir: str
 ) -> list[list[str]]:
-    """Pre-partition a hot shard's delta by salt in ONE read, so the k
+    """Pre-partition a hot shard's delta by salt in ONE pass, so the k
     merge tasks each read only their sub-keyspace (k× → 2× read
     amplification; measured: in-task filtering made salting a net loss
-    on fat shards)."""
+    on fat shards). Streams FILE BY FILE — task memory is bounded by
+    one delta file, not the whole hot-shard delta (the single-task
+    concat was exactly the memory spike the salting exists to defuse);
+    each input file yields up to k per-salt slices, and the merge tasks
+    re-read per salt anyway so the extra file count is free."""
     try:
         if pa.cpu_count() != 1:
             pa.set_cpu_count(1)
             pa.set_io_thread_count(2)
     except Exception:
         pass
-    t = pa.concat_tables(
-        [pq.read_table(f) for f in delta_files], promote_options="permissive"
-    )
-    if "merge_group" in t.column_names:
-        t = t.drop_columns(["merge_group"])
-    slt = salt_of(hash_u64(t["conv_id"]), num_shards, k)
-    order = np.argsort(slt, kind="stable")
-    t = t.take(pa.array(order))
-    bounds = np.searchsorted(slt[order], np.arange(k + 1))
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    paths: list[list[str]] = []
-    for j in range(k):
-        lo, hi = int(bounds[j]), int(bounds[j + 1])
-        if hi > lo:
-            p = out / f"salt-{j:03d}.parquet"
-            pq.write_table(
-                t.slice(lo, hi - lo), p, compression="NONE", use_dictionary=False
-            )
-            paths.append([str(p)])
-        else:
-            paths.append([])
+    paths: list[list[str]] = [[] for _ in range(k)]
+    for i, f in enumerate(delta_files):
+        t = pq.read_table(f)
+        if "merge_group" in t.column_names:
+            t = t.drop_columns(["merge_group"])
+        slt = salt_of(hash_u64(t["conv_id"]), num_shards, k)
+        order = np.argsort(slt, kind="stable")
+        t = t.take(pa.array(order))
+        bounds = np.searchsorted(slt[order], np.arange(k + 1))
+        for j in range(k):
+            lo, hi = int(bounds[j]), int(bounds[j + 1])
+            if hi > lo:
+                p = out / f"salt-{j:03d}-{i:05d}.parquet"
+                pq.write_table(
+                    t.slice(lo, hi - lo), p, compression="NONE", use_dictionary=False
+                )
+                paths[j].append(str(p))
     return paths
 
 

@@ -351,3 +351,56 @@ def test_partial_micro_batch_then_resume(ray_session, tmp_path):
     st = replay(wal, lake, num_shards=8, max_bytes_per_commit=100_000)
     assert st["committed_segments"] == len(segs) - len(segs) // 2
     assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_salt_split_streams_per_file(ray_session, tmp_path):
+    """The hot-shard salt pre-split must be file-streamed (one output
+    slice per input file per salt — task memory bounded by one delta
+    file) and its per-salt union must equal the salt partition of the
+    full delta."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from etl_geodata_pipeline_ray.cdc.replay import (
+        _salt_split_task,
+        hash_u64,
+        salt_of,
+    )
+
+    rng = np.random.default_rng(7)
+    k, num_shards = 3, 8
+    files = []
+    all_parts = []
+    for i in range(4):  # multi-file hot shard
+        t = pa.table(
+            {
+                "conv_id": pa.array([f"c{v}" for v in rng.integers(0, 200, 500)]),
+                "v": pa.array(rng.integers(0, 10**6, 500)),
+                "merge_group": pa.array(np.full(500, 5, dtype=np.int64)),
+            }
+        )
+        p = tmp_path / f"delta-{i}.parquet"
+        pq.write_table(t, p)
+        files.append(str(p))
+        all_parts.append(t.drop_columns(["merge_group"]))
+    full = pa.concat_tables(all_parts)
+    slt_full = salt_of(hash_u64(full["conv_id"]), num_shards, k)
+
+    paths = _ray.get(
+        _salt_split_task.remote(files, k, num_shards, str(tmp_path / "salted"))
+    )
+    assert len(paths) == k
+    # per-file streaming: a salt present in every input file has one
+    # slice per input file, not one concatenated file
+    assert max(len(p) for p in paths) == len(files)
+    for j in range(k):
+        if not paths[j]:
+            assert (slt_full == j).sum() == 0
+            continue
+        got = pa.concat_tables([pq.read_table(p) for p in paths[j]])
+        want = full.filter(pa.array(slt_full == j))
+        got_sorted = got.sort_by([("conv_id", "ascending"), ("v", "ascending")])
+        want_sorted = want.sort_by([("conv_id", "ascending"), ("v", "ascending")])
+        assert got_sorted.equals(want_sorted), f"salt {j} mismatch"
