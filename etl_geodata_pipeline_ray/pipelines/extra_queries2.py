@@ -583,3 +583,110 @@ SELECT category, count(*) AS n, 'part' AS source_layer FROM (
 """
 
 EXTRA_QUERIES2["q57_spec_pipeline"] = (q57_spec_pipeline, Q57_SQL)
+
+
+# ---------------------------------------------------------------- q58
+def q58_graph_traversal(sf_dir: str) -> pd.DataFrame:
+    """Stateful graph-traversal scorer (ST1's ALGORITHM, not just its
+    shape — reference walk-graph Dijkstra ``generate_h3_advanced_maps
+    .py:474-515``): a deterministic 25-node graph is aggregated from
+    orders (edge (custkey%25 → orderkey%25), weight = min totalprice;
+    distributed combiner + tiny groupby), broadcast once, and every
+    order row is scored with the exact shortest-path distance from
+    node 0 by an actor pool that runs Dijkstra ONCE per actor in
+    __init__. The oracle re-derives the same distances by min-plus
+    relaxation to fixed point (24 rounds ≥ graph diameter) — both
+    sides accumulate the same prefix sums along the same shortest
+    paths, so the hash check is exact."""
+    import ray as _ray
+
+    from ..stages.traverse import DijkstraScorer, build_edge_table
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        a = (t["o_custkey"].to_numpy(zero_copy_only=False) % 25).astype(np.int64)
+        b = (t["o_orderkey"].to_numpy(zero_copy_only=False) % 25).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(a),
+                "dst": pa.array(b),
+                "weight": t["o_totalprice"],
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    ds2 = orders.map_batches(derive, batch_format="pyarrow")
+    edges = build_edge_table(
+        ds2.map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+            batch_format="pyarrow",
+        ),
+        "src",
+        "dst",
+        "weight",
+    )
+    ref = _ray.put(edges)
+    scored = ds2.map_batches(
+        DijkstraScorer,
+        fn_constructor_kwargs={
+            "edges_ref": ref,
+            "n_nodes": 25,
+            "source": 0,
+            "node_col": "src",
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    from ray.data.aggregate import Max, Min
+
+    out = (
+        scored.map_batches(
+            lambda t: t.filter(pc.is_finite(t["dist"])), batch_format="pyarrow"
+        )
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("dist", alias_name="min_dist"),
+            Max("dist", alias_name="max_dist"),
+        )
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["min_dist"] = (out["min_dist"] + 0.0).round(2)
+    out["max_dist"] = (out["max_dist"] + 0.0).round(2)
+    return out
+
+
+def _q58_relax_sql(rounds: int = 24) -> str:
+    parts = [
+        """WITH e AS MATERIALIZED (
+  SELECT o_custkey % 25 AS a, o_orderkey % 25 AS b, min(o_totalprice) AS w
+  FROM orders WHERE o_custkey % 25 <> o_orderkey % 25 GROUP BY 1, 2),
+d0 AS (SELECT 0 AS node, 0.0 AS dist)"""
+    ]
+    for k in range(rounds):
+        parts.append(
+            f""",
+d{k + 1} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{k}
+    UNION ALL
+    SELECT e.b AS node, d{k}.dist + e.w AS dist FROM d{k} JOIN e ON e.a = d{k}.node
+  ) GROUP BY 1)"""
+        )
+    parts.append(
+        f"""
+SELECT o_orderpriority, count(*) AS n,
+       round(min(dist), 2) AS min_dist, round(max(dist), 2) AS max_dist
+FROM orders JOIN d{rounds} ON d{rounds}.node = o_custkey % 25
+GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+Q58_SQL = _q58_relax_sql()
+
+EXTRA_QUERIES2["q58_graph_traversal"] = (q58_graph_traversal, Q58_SQL)

@@ -489,21 +489,41 @@ GROUP BY 1
 
 # ---------------------------------------------------------------- q19
 def q19_table_stats(sf_dir: str) -> pd.DataFrame:
-    """A13 basic stats summary (reference ``data_loader.py:331-357``)."""
+    """A13 basic stats summary (reference ``data_loader.py:331-357``),
+    in ONE scan: each block emits a partial row (count/min/max/sum +
+    its deduped supplier-key set as bytes) and the driver folds ~blocks
+    tiny rows — the distinct count rides the same pass instead of a
+    second lineitem scan, and the driver holds at most blocks × key
+    cardinality, never raw rows (HLL, q37, is the sketch path when even
+    that is too big)."""
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice"])
-    row = ds.aggregate(
-        Count(alias_name="n_rows"),
-        Min("l_shipdate", alias_name="first_ship"),
-        Max("l_shipdate", alias_name="last_ship"),
-        Sum("l_extendedprice", alias_name="total_price"),
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        supp = np.unique(t["l_suppkey"].to_numpy(zero_copy_only=False))
+        return pd.DataFrame(
+            {
+                "n_rows": [t.num_rows],
+                "first_ship": [pc.min(t["l_shipdate"]).as_py()],
+                "last_ship": [pc.max(t["l_shipdate"]).as_py()],
+                "total_price": [pc.sum(t["l_extendedprice"]).as_py()],
+                "supp": [supp.astype(np.int64).tobytes()],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n_supp = len(
+        np.unique(
+            np.concatenate(
+                [np.frombuffer(r["supp"], dtype=np.int64) for r in parts]
+            )
+        )
     )
-    n_supp = len(_read(sf_dir, "lineitem", ["l_suppkey"]).unique("l_suppkey"))
     out = pd.DataFrame(
         {
-            "n_rows": [row["n_rows"]],
-            "first_ship": [pd.Timestamp(row["first_ship"])],
-            "last_ship": [pd.Timestamp(row["last_ship"])],
-            "total_price": [round(row["total_price"] + 0.0, 2)],
+            "n_rows": [int(sum(r["n_rows"] for r in parts))],
+            "first_ship": [pd.Timestamp(min(r["first_ship"] for r in parts))],
+            "last_ship": [pd.Timestamp(max(r["last_ship"] for r in parts))],
+            "total_price": [round(sum(r["total_price"] for r in parts), 2)],
             "n_suppliers": [n_supp],
         }
     )

@@ -320,3 +320,48 @@ def test_semi_anti_join_broadcast_vs_shuffled(ray_session):
     # and the broadcast path when eligible
     planned_bc = planned_semi_anti_join(l_ds, r_ds, "k", "rk", anti=True)
     assert sorted(planned_bc.to_pandas()["v"].tolist()) == want_anti
+
+
+def test_dijkstra_scorer_matches_bellman_ford(ray_session):
+    """The actor-held Dijkstra kernel must match a reference
+    Bellman-Ford on random weighted digraphs, and the actor-pool stage
+    must score a node column vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.traverse import DijkstraScorer, dijkstra
+
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        n = 30
+        m = 150
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        w = rng.random(m) * 10 + 0.1
+        got = dijkstra(n, src, dst, w, source=0)
+        # reference: n-1 rounds of relaxation
+        ref = np.full(n, np.inf)
+        ref[0] = 0.0
+        for _ in range(n - 1):
+            for s, d, wt in zip(src, dst, w):
+                if ref[s] + wt < ref[d]:
+                    ref[d] = ref[s] + wt
+        assert np.allclose(got, ref, equal_nan=True), f"trial {trial}"
+
+    edges = {"src": src, "dst": dst, "weight": w}
+    ref_obj = _ray.put(edges)
+    nodes = pd.DataFrame({"node": rng.integers(0, n, 500)})
+    out = (
+        ray.data.from_pandas(nodes)
+        .map_batches(
+            DijkstraScorer,
+            fn_constructor_kwargs={"edges_ref": ref_obj, "n_nodes": n, "source": 0},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+    )
+    want = dijkstra(n, src, dst, w, 0)[nodes["node"].to_numpy()]
+    assert np.allclose(out["dist"].to_numpy(), want, equal_nan=True)
