@@ -365,3 +365,53 @@ def test_dijkstra_scorer_matches_bellman_ford(ray_session):
     )
     want = dijkstra(n, src, dst, w, 0)[nodes["node"].to_numpy()]
     assert np.allclose(out["dist"].to_numpy(), want, equal_nan=True)
+
+
+def test_semi_anti_join_broadcast_vs_shuffle_property(ray_session):
+    """Property check (VERDICT r2 item 3): both planner paths of
+    planned_semi_anti_join — broadcast key-set filter and distributed
+    shuffle semi/anti — agree with the pandas ground truth on a skewed
+    keyed table with nulls and duplicate keys, for semi AND anti."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.relational import (
+        semi_anti_join,
+        shuffle_join,
+    )
+
+    rng = np.random.default_rng(41)
+    for trial in range(3):
+        # Zipf-skewed left keys, partial overlap, nulls on both sides.
+        k = rng.zipf(1.4, 400).astype("float64")
+        k[rng.random(400) < 0.05] = np.nan
+        left = pd.DataFrame({"k": k, "v": rng.integers(0, 100, 400)})
+        rk = rng.integers(1, 12, 80).astype("float64")
+        rk[rng.random(80) < 0.1] = np.nan
+        right = pd.DataFrame({"rk": rk, "w": rng.random(80)})
+
+        in_set = left["k"].isin(right["rk"].dropna().unique())
+        want_semi = left[in_set & left["k"].notna()]
+        want_anti = left[~in_set | left["k"].isna()]
+
+        l_ds = ray.data.from_pandas(left)
+        r_ds = ray.data.from_pandas(right)
+
+        def norm(df):
+            return (
+                df[["k", "v"]]
+                .sort_values(["k", "v"], na_position="last")
+                .reset_index(drop=True)
+            )
+
+        for anti, want in ((False, want_semi), (True, want_anti)):
+            bcast = semi_anti_join(
+                l_ds, right["rk"].dropna().unique(), "k", anti=anti
+            ).to_pandas()
+            shuf = shuffle_join(
+                l_ds, r_ds, on=["k"], right_on=["rk"],
+                join_type="anti" if anti else "semi", n_buckets=5,
+            ).to_pandas()
+            assert norm(bcast).equals(norm(want)), (trial, anti, "broadcast")
+            assert norm(shuf).equals(norm(want)), (trial, anti, "shuffle")
