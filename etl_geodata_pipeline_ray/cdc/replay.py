@@ -330,10 +330,22 @@ def replay(
             "salted_shards": 0, "gc_files": 0, "micro_batches": len(batches),
             "timings": timings,
         }
-        for b in batches:
+        for i, b in enumerate(batches):
+            # All but the last micro-batch commit append-mode (cost ∝
+            # delta). When the caller asked for a fully-compacted lake
+            # (mode="rewrite"), the LAST batch merges rewrite-mode —
+            # delta + all accumulated runs → one file per salt — so the
+            # trailing compaction no-ops on every shard this batch
+            # touches instead of re-reading and re-writing the whole
+            # lake one more time (measured ~13 s of an 82 s 10^8-event
+            # replay). The trailing _compact_locked still runs to catch
+            # multi-run shards the last batch did NOT touch.
+            batch_mode = (
+                "rewrite" if mode == "rewrite" and i == len(batches) - 1 else "append"
+            )
             st = _replay_locked(
                 lake_dir, b, manifests, num_shards, salt_threshold,
-                batch_size, "append", compact_runs, {},
+                batch_size, batch_mode, compact_runs, {},
             )
             agg["committed_segments"] += st["committed_segments"]
             agg["shards_updated"] = max(agg["shards_updated"], st["shards_updated"])
