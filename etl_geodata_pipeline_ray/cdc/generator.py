@@ -326,3 +326,127 @@ def write_wal_chunked(
         remaining -= sub.n_convs
         ci += 1
     return paths
+
+
+def _chunk_task(
+    sub_spec: WalSpec,
+    conv_base: int,
+    row_base: int,
+    seq_base: int,
+    stride: int,
+    seg_size: int,
+    wal_dir: str,
+) -> list[str]:
+    """Generate + perturb + write ONE chunk's segments (runs inside a
+    Ray task). Mirrors ``write_wal_chunked``'s per-chunk arithmetic
+    exactly, except the op_seq/ts/offset bases are FIXED multiples of
+    ``stride`` instead of running sums — that is what removes the
+    sequential dependency between chunks. Chunk key spaces are disjoint
+    (``conv_base``), so LWW semantics never compare values across
+    chunks and the fixed bases are cosmetic (monotone-ish ts, unique
+    op_seq per conv)."""
+    import pyarrow.compute as pc
+
+    events = generate_events(sub_spec, conv_base=conv_base)
+    m = events.num_rows
+    if m >= stride:
+        raise ValueError(
+            f"chunk produced {m} events >= stride {stride}; raise the "
+            "stride (events per conv exceeded the 64x safety bound)"
+        )
+    order = delivery_order(sub_spec, m)
+    delivered = events.take(pa.array(order))
+    del events
+    if seq_base:
+        delivered = delivered.set_column(
+            delivered.schema.get_field_index("op_seq"),
+            "op_seq",
+            pc.add(delivered["op_seq"], pa.scalar(seq_base, pa.int64())),
+        )
+        delivered = delivered.set_column(
+            delivered.schema.get_field_index("ts"),
+            "ts",
+            pc.add(
+                delivered["ts"].cast(pa.int64()),
+                pa.scalar(seq_base * 1_000_000, pa.int64()),
+            ).cast(pa.timestamp("us")),
+        )
+    n = delivered.num_rows
+    change_at = (
+        seq_base + int(m * sub_spec.schema_change_frac)
+        if sub_spec.schema_change_frac <= 1
+        else 0
+    )
+    paths = []
+    for start in range(0, n, seg_size):
+        seg = delivered.slice(start, seg_size)
+        max_seq = pa.compute.max(seg["op_seq"]).as_py()
+        if max_seq is not None and max_seq < change_at:
+            seg = seg.drop_columns(["tool"]).cast(EVENT_SCHEMA_V0)
+        p = Path(wal_dir) / f"seg-{row_base + start:012d}.parquet"
+        pq.write_table(seg, p, row_group_size=sub_spec.row_group_size)
+        paths.append(str(p))
+    return paths
+
+
+def write_wal_parallel(
+    spec: WalSpec,
+    wal_dir: str | Path,
+    chunk_convs: int = 400_000,
+    overwrite: bool = False,
+    task_cpus: int = 4,
+) -> list[Path]:
+    """Parallel variant of ``write_wal_chunked``: each conversation
+    chunk is generated by an independent Ray task (generation is
+    single-threaded numpy/Arrow, so the sequential chunked path is
+    driver-bound — ~30k events/s; this one scales with cluster CPUs,
+    which is the only way to materialize a 10^10-event test WAL in
+    reasonable time).
+
+    Stream layout differs from ``write_wal_chunked`` only in the
+    offset bases: segment names / op_seq / ts advance by a FIXED
+    per-chunk stride (``chunk_convs * 64`` — a statistical upper bound
+    on events per chunk, asserted per task) instead of exact running
+    sums, so chunk ci's bases are known without generating chunks
+    < ci. Segment names are sparse but stay sorted in chunk order;
+    the replay engine treats names as opaque ordered offsets, and each
+    chunk's conv ids are disjoint, so final lake state for the same
+    spec is identical to what the same stream would produce delivered
+    in any order (LWW). Deterministic: same spec + chunk_convs →
+    byte-identical segments, regardless of task scheduling.
+
+    ``task_cpus`` throttles concurrency (each in-flight chunk holds
+    ~2 copies of its ~1 GB event table in task heap).
+    """
+    import ray
+
+    wal_dir = Path(wal_dir)
+    if wal_dir.exists():
+        if not overwrite and any(wal_dir.glob("seg-*.parquet")):
+            return sorted(wal_dir.glob("seg-*.parquet"))
+        shutil.rmtree(wal_dir)
+    wal_dir.mkdir(parents=True)
+
+    from dataclasses import replace
+
+    stride = chunk_convs * 64
+    task = ray.remote(num_cpus=task_cpus)(_chunk_task)
+    refs = []
+    ci = 0
+    remaining = spec.n_convs
+    while remaining > 0:
+        sub = replace(
+            spec, n_convs=min(chunk_convs, remaining), seed=spec.seed + 7919 * ci
+        )
+        refs.append(
+            task.remote(
+                sub, ci * chunk_convs, ci * stride, ci * stride,
+                stride, spec.seg_size, str(wal_dir),
+            )
+        )
+        remaining -= sub.n_convs
+        ci += 1
+    paths: list[Path] = []
+    for r in refs:
+        paths.extend(Path(p) for p in ray.get(r))
+    return sorted(paths)

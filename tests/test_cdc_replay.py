@@ -282,6 +282,33 @@ def test_chunked_wal_replay_matches_oracle(ray_session, tmp_path):
     assert lake_final_table(lake).equals(oracle_final_state(wal))
 
 
+def test_parallel_wal_replay_matches_oracle(ray_session, tmp_path):
+    """write_wal_parallel (Ray-task generator for 10^10-scale test
+    WALs) must be deterministic across runs and replay to the oracle
+    state, with the per-chunk schema transitions intact despite its
+    sparse fixed-stride segment offsets."""
+    import pyarrow.parquet as _pq
+
+    from etl_geodata_pipeline_ray.cdc.generator import WalSpec, write_wal_parallel
+
+    spec = WalSpec(
+        n_convs=1500, seed=23, dup_rate=0.08, shuffle_window=150,
+        schema_change_frac=0.5, zipf_s=1.1, seg_size=2000,
+    )
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    paths = write_wal_parallel(spec, wal, chunk_convs=600, overwrite=True, task_cpus=1)
+    assert len({tuple(_pq.read_schema(p).names) for p in paths}) == 2
+    paths2 = write_wal_parallel(
+        spec, tmp_path / "wal2", chunk_convs=600, overwrite=True, task_cpus=1
+    )
+    assert [p.name for p in paths] == [p.name for p in paths2]
+    assert all(
+        a.read_bytes() == b.read_bytes() for a, b in zip(paths, paths2)
+    ), "parallel generation must be deterministic"
+    replay(wal, lake, num_shards=8)
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
 def test_micro_batched_commits_match_oracle(ray_session, tmp_path):
     """A backlog above max_bytes_per_commit splits into sequential
     append-mode commits + trailing compaction; final state must equal
