@@ -167,6 +167,34 @@ def _salt_split_task(
     return paths
 
 
+# in-memory expansion of a snappy+dictionary lake parquet file once
+# decoded to Arrow (text-heavy transcript rows; measured ~2–2.5×,
+# padded). Delta runs are written uncompressed/no-dictionary, so their
+# in-memory size ≈ on-disk size.
+_PARQ_EXPANSION = 3
+
+
+def _merge_mem_bytes(delta_disk: int, base_disk: int, k: int, max_base_file: int) -> int:
+    """Scheduler-visible heap estimate for one merge task, passed as
+    Ray's ``memory`` resource so admission is capped by free RAM and
+    not just CPU slots (32 CPU-admitted rewrite merges over a lake
+    that no longer fits in free memory is a host-OOM, not a slowdown —
+    observed at the 3×10^8-event rung). Peak = inputs (this salt's
+    kept fraction + one in-flight file) + the merged/sorted output
+    copy ≈ 2.2× inputs. Clamped to 70% of the cluster's memory
+    resource so a single oversized task degrades to running alone
+    instead of never scheduling."""
+    base_mem = _PARQ_EXPANSION * (base_disk // max(k, 1) + max_base_file)
+    est = int(2.2 * (delta_disk + base_mem))
+    try:
+        cap = int(ray.cluster_resources().get("memory", 0) * 0.7)
+    except Exception:
+        cap = 0
+    if cap:
+        est = min(est, cap)
+    return max(est, 256 << 20)
+
+
 @ray.remote
 def _merge_task(
     lake_dir: str,
@@ -191,23 +219,33 @@ def _merge_task(
             pa.set_io_thread_count(2)
     except Exception:
         pass
+    # salt filters run per FILE, before the concat — peak heap is this
+    # task's kept fraction plus one in-flight file, not the whole shard
+    # (k salt tasks each scanning the full concatenated base was a k×
+    # memory spike; the 3×10^8-event run OOMed exactly there).
     delta = None
     if delta_files:
-        tabs = [pq.read_table(f) for f in delta_files]
+        tabs = []
+        for f in delta_files:
+            t = pq.read_table(f)
+            if k > 1 and not pre_salted and t.num_rows:
+                h = hash_u64(t["conv_id"])
+                t = t.filter(pa.array(salt_of(h, num_shards, k) == salt))
+            tabs.append(t)
         delta = pa.concat_tables(tabs, promote_options="permissive")
         if "merge_group" in delta.column_names:
             delta = delta.drop_columns(["merge_group"])
-        if k > 1 and not pre_salted:
-            h = hash_u64(delta["conv_id"])
-            delta = delta.filter(pa.array(salt_of(h, num_shards, k) == salt))
 
     base = None
     if base_files:
-        tabs = [pq.read_table(str(Path(lake_dir) / f)) for f in base_files]
+        tabs = []
+        for f in base_files:
+            t = pq.read_table(str(Path(lake_dir) / f))
+            if t.num_rows and (k > 1 or old_k > 1):
+                h = hash_u64(t["conv_id"])
+                t = t.filter(pa.array(salt_of(h, num_shards, k) == salt))
+            tabs.append(t)
         base = pa.concat_tables(tabs, promote_options="permissive")
-        if base.num_rows and (k > 1 or old_k > 1):
-            h = hash_u64(base["conv_id"])
-            base = base.filter(pa.array(salt_of(h, num_shards, k) == salt))
 
     if base is not None and delta is not None and base.schema != delta.schema:
         u = unify([base.schema, delta.schema])
@@ -436,7 +474,6 @@ def _replay_locked(
     # LPT order: submit the biggest compactions first so the last wave
     # of tasks is made of small ones (shorter straggler tail).
     plans.sort(key=lambda p: -p[3])
-    plans = [(sh, k, files) for sh, k, files, _ in plans]
 
     old_files = {sh: [f["path"] for f in m["files"]] for sh, m in manifests.items()}
     old_k = {sh: m.get("salt_k", 1) for sh, m in manifests.items()}
@@ -449,20 +486,27 @@ def _replay_locked(
         sh: _salt_split_task.remote(
             files, k, num_shards, str(delta_root / f"salted-{sh:05d}")
         )
-        for sh, k, files in plans
+        for sh, k, files, _ in plans
         if k > 1
     }
     split_files = {sh: ray.get(r) for sh, r in split_refs.items()}
 
     refs = []
     rewrite_shard: dict[int, bool] = {}
-    for sh, k, files in plans:
+    for sh, k, files, delta_bytes in plans:
         rewrite = mode == "rewrite" or len(old_files.get(sh, [])) + k > compact_runs
         rewrite_shard[sh] = rewrite
+        old_m = manifests.get(sh)
+        base_disk = int(old_m["bytes"]) if (rewrite and old_m) else 0
+        max_base_file = max(
+            (int(f["bytes"]) for f in (old_m["files"] if (rewrite and old_m) else [])),
+            default=0,
+        )
+        mem = _merge_mem_bytes(delta_bytes // k, base_disk, k, max_base_file)
         for j in range(k):
             delta_j = split_files[sh][j] if k > 1 else files
             refs.append(
-                _merge_task.remote(
+                _merge_task.options(memory=mem).remote(
                     str(lake_dir),
                     sh,
                     j,
@@ -602,11 +646,13 @@ def _compact_locked(lake_dir: Path, salt_threshold: int) -> dict:
         return {"shards_compacted": 0}
 
     refs = []
-    for sh, k, files, _ in plans:
+    for sh, k, files, nbytes in plans:
         version = manifests[sh]["version"] + 1
+        max_f = max((int(f["bytes"]) for f in manifests[sh]["files"]), default=0)
+        mem = _merge_mem_bytes(0, nbytes, k, max_f)
         for j in range(k):
             refs.append(
-                _merge_task.remote(
+                _merge_task.options(memory=mem).remote(
                     str(lake_dir), sh, j, k, manifests[sh].get("salt_k", 1),
                     version, num_shards, [], files,
                 )
