@@ -66,6 +66,9 @@ class WalSpec:
     schema_change_frac: float = 1.1  # >1 → no schema change
     zipf_s: float = 0.0              # 0 → uniform conv activity
     roles: tuple = ("system", "user", "assistant")
+    # fraction of events made INVALID (half unknown op code, half null
+    # conv_id) — feeds the dead-letter/quarantine path; 0 → all valid
+    invalid_rate: float = 0.0
 
     def key(self) -> str:
         """Stable cache key for on-disk reuse."""
@@ -74,6 +77,7 @@ class WalSpec:
             f"_w{self.words_per_text}_g{self.seg_size}_s{self.seed}_p{self.dup_rate}"
             f"_o{self.shuffle_window}_sc{self.schema_change_frac}_z{self.zipf_s}"
             f"_r{self.row_group_size}"
+            + (f"_i{self.invalid_rate}" if self.invalid_rate else "")
         )
 
 
@@ -177,12 +181,23 @@ def generate_events(spec: WalSpec, conv_base: int = 0) -> pa.Table:
     role[is_del] = None
     tool[is_del] = None
 
+    cid_col = conv_ids[conv].astype(object)
+    if spec.invalid_rate > 0:
+        # malformed change events a real binlog tail encounters: an
+        # unknown op code, or a row whose merge key is null. Drawn from
+        # an independent stream so the valid-event mix is unchanged.
+        rng_bad = np.random.default_rng(spec.seed + 7)
+        bad_idx = np.flatnonzero(rng_bad.random(n) < spec.invalid_rate)
+        op = op.astype(object)
+        op[bad_idx[::2]] = "X"
+        cid_col[bad_idx[1::2]] = None
+
     return pa.table(
         {
             "op": pa.array(op, type=pa.string()),
             "op_seq": pa.array(op_seq, type=pa.int64()),
             "ts": pa.array(ts, type=pa.timestamp("us")),
-            "conv_id": pa.array(conv_ids[conv], type=pa.string()),
+            "conv_id": pa.array(cid_col, type=pa.string()),
             "turn_idx": pa.array(turn, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),
             "text": pc.cast(text, pa.large_string()),

@@ -26,10 +26,54 @@ def read_wal_unified(wal_dir: str | Path) -> pa.Table:
     return pa.concat_tables(tables)
 
 
+def _validity(log: pa.Table) -> tuple[pa.Array, pa.Array]:
+    """(op_ok, key_ok) masks matching the engine's route() rules: op
+    must be a known code; (conv_id, turn_idx, ts) must be non-null to
+    be routable/mergeable."""
+    op_ok = pc.fill_null(
+        pc.is_in(log["op"], value_set=pa.array(["I", "U", "D"])), False
+    )
+    key_ok = pc.and_(
+        pc.and_(pc.is_valid(log["conv_id"]), pc.is_valid(log["turn_idx"])),
+        pc.is_valid(log["ts"]),
+    )
+    return op_ok, key_ok
+
+
+def oracle_quarantine(wal_dir: str | Path) -> pa.Table:
+    """Expected dead-letter rows with their ``dlq_reason``, sorted by
+    op_seq — the oracle for ``replay``'s quarantine output. Reason
+    precedence mirrors route(): an unroutable key wins over a bad op."""
+    log = read_wal_unified(wal_dir)
+    op_ok, key_ok = _validity(log)
+    bad = pc.invert(pc.and_(op_ok, key_ok))
+    log = log.filter(bad)
+    reason = pc.if_else(
+        pc.invert(pc.filter(key_ok, bad)),
+        pa.scalar("unroutable_key"),
+        pa.scalar("invalid_op"),
+    )
+    log = log.append_column("dlq_reason", reason)
+    # duplicates in the delivered stream quarantine once per delivery;
+    # dedup to the logical event for comparison
+    import pandas as pd  # noqa: F401
+
+    df = log.to_pandas().drop_duplicates(subset=["op_seq"]).sort_values("op_seq")
+    return pa.Table.from_pandas(df, preserve_index=False).cast(
+        pa.schema(list(EVENT_SCHEMA) + [pa.field("dlq_reason", pa.string())])
+    )
+
+
 def oracle_final_state(wal_dir: str | Path) -> pa.Table:
     """Replay the log in one process; returns the final transcript table
-    (TRANSCRIPT_SCHEMA, sorted by (conv_id, turn_idx))."""
+    (TRANSCRIPT_SCHEMA, sorted by (conv_id, turn_idx)). Invalid events
+    (unknown op / null merge key) are excluded — they quarantine, they
+    do not merge."""
     log = read_wal_unified(wal_dir)
+    op_ok, key_ok = _validity(log)
+    valid = pc.and_(op_ok, key_ok)
+    if not pc.all(valid).as_py():
+        log = log.filter(valid)
     order = pc.sort_indices(
         log,
         sort_keys=[("ts", "descending"), ("op_seq", "descending")],

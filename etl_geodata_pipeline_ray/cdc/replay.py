@@ -48,6 +48,7 @@ offsets + lineage + metrics and are commit pointers, not logs.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import uuid
 from pathlib import Path
@@ -62,10 +63,16 @@ import ray.data
 
 from ..state.merge_index import ShardMerger, _HASH_KEY
 from . import manifest as mf
-from .schema import TRANSCRIPT_SCHEMA, conform, unify
+from .schema import EVENT_SCHEMA, TRANSCRIPT_SCHEMA, conform, unify
 
 _VALID_OPS = ("I", "U", "D")
 _INCOMING = "_incoming"
+_QUARANTINE = "quarantine"
+# negative merge_group values route to the dead-letter area instead of
+# a shard: rows a real binlog tail must not silently drop OR merge
+_DLQ_INVALID_OP = -1    # unknown op code
+_DLQ_UNROUTABLE = -2    # null conv_id / turn_idx / ts — no merge key
+_DLQ_REASON = {_DLQ_INVALID_OP: "invalid_op", _DLQ_UNROUTABLE: "unroutable_key"}
 
 
 def hash_u64(conv_ids) -> np.ndarray:
@@ -339,6 +346,9 @@ def replay(
         # snapshot here would re-write just-committed v{N}-s{salt}
         # paths and carry file lists the other commit already GC'd.
         manifests = mf.read_all_manifests(lake_dir)
+        # roll back dead-letter entries from commits that never reached
+        # the manifest point — their segments are about to re-replay
+        _rollback_orphan_quarantine(lake_dir, manifests)
         pending = _pending_segments(segments, manifests, num_shards)
         if not pending:
             return {"committed_segments": 0, "shards_updated": 0, "salted_shards": 0}
@@ -365,8 +375,8 @@ def replay(
             acc += sz
         agg = {
             "committed_segments": 0, "shards_updated": 0, "lake_rows": 0,
-            "salted_shards": 0, "gc_files": 0, "micro_batches": len(batches),
-            "timings": timings,
+            "salted_shards": 0, "gc_files": 0, "quarantined_rows": 0,
+            "micro_batches": len(batches), "timings": timings,
         }
         for i, b in enumerate(batches):
             # All but the last micro-batch commit append-mode (cost ∝
@@ -390,6 +400,7 @@ def replay(
             agg["lake_rows"] = st["lake_rows"]
             agg["salted_shards"] += st["salted_shards"]
             agg["gc_files"] += st["gc_files"]
+            agg["quarantined_rows"] += st.get("quarantined_rows", 0)
             for k, v in st["timings"].items():
                 timings[k] = round(timings.get(k, 0.0) + v, 3)
             manifests = mf.read_all_manifests(lake_dir)
@@ -442,10 +453,26 @@ def _replay_locked(
         ds = ds.repartition(cap)
 
     def route(batch: pa.Table) -> pa.Table:
-        valid = pc.is_in(batch["op"], value_set=pa.array(_VALID_OPS))
-        if not pc.all(valid).as_py():
-            batch = batch.filter(valid)
-        sh = shard_of(hash_u64(batch["conv_id"]), num_shards)
+        # invalid events are ROUTED, not dropped: unknown-op and
+        # null-merge-key rows go to negative merge groups that commit
+        # into the quarantine area (dead-letter queue) with lineage —
+        # a binlog tail that silently discards malformed events loses
+        # the audit trail. All-valid batches (the common case) pay one
+        # vectorized mask check and nothing else.
+        op_ok = pc.fill_null(
+            pc.is_in(batch["op"], value_set=pa.array(_VALID_OPS)), False
+        )
+        key_ok = pc.and_(
+            pc.and_(pc.is_valid(batch["conv_id"]), pc.is_valid(batch["turn_idx"])),
+            pc.is_valid(batch["ts"]),
+        )
+        all_ok = pc.all(pc.and_(op_ok, key_ok)).as_py() is not False
+        cid = batch["conv_id"] if all_ok else pc.fill_null(batch["conv_id"], "")
+        sh = shard_of(hash_u64(cid), num_shards)
+        if not all_ok:
+            ko = key_ok.to_numpy(zero_copy_only=False)
+            oo = op_ok.to_numpy(zero_copy_only=False)
+            sh = np.where(ko, np.where(oo, sh, _DLQ_INVALID_OP), _DLQ_UNROUTABLE)
         return batch.append_column("merge_group", pa.array(sh, type=pa.int64()))
 
     commit_id = uuid.uuid4().hex[:12]
@@ -465,9 +492,13 @@ def _replay_locked(
     plans = []  # (shard, k, delta_files) — salting from file SIZES
     # (os.stat only; a shard whose delta run exceeds salt_threshold
     # bytes is compacted by k parallel sub-keyspace tasks)
+    quarantine_runs: list[tuple[int, list[Path]]] = []  # (group, files)
     for d in sorted(delta_root.glob("merge_group=*")):
         sh = int(d.name.split("=")[1])
         files = sorted(d.glob("*.parquet"))
+        if sh < 0:
+            quarantine_runs.append((sh, files))
+            continue
         nbytes = sum(p.stat().st_size for p in files)
         k = max(1, int(np.ceil(nbytes / salt_threshold)))
         plans.append((sh, k, [str(p) for p in files], nbytes))
@@ -525,6 +556,13 @@ def _replay_locked(
 
     # ---------------- commit: manifest-last, one per shard -------------
     seg_names = [Path(p).name for p in pending]
+    # Quarantine lands BEFORE the shard manifests (the commit point):
+    # if we crash in between, the segments read as uncommitted, the
+    # re-replay's rollback pass removes this orphan quarantine entry,
+    # and the rows quarantine again — never lost, never double-counted.
+    quarantined_rows = _commit_quarantine(
+        lake_dir, commit_id, quarantine_runs, seg_names
+    )
     lineage = [
         {"segment": Path(p).name, "offset_start": mf.segment_offset(p), "commit": commit_id}
         for p in pending
@@ -611,6 +649,7 @@ def _replay_locked(
         "lake_rows": total_rows,
         "salted_shards": salted,
         "gc_files": removed,
+        "quarantined_rows": quarantined_rows,
         "commit": commit_id,
         "timings": timings,
     }
@@ -683,6 +722,105 @@ def _compact_locked(lake_dir: Path, salt_threshold: int) -> dict:
     return {"shards_compacted": len(by_shard), "gc_files": removed}
 
 
+def _commit_quarantine(
+    lake_dir: Path,
+    commit_id: str,
+    quarantine_runs: list[tuple[int, list[Path]]],
+    seg_names: list[str],
+) -> int:
+    """Move this commit's dead-letter delta runs from ``_incoming`` to
+    ``quarantine/commit=<id>/reason=<r>/`` and record them in an
+    atomic per-commit quarantine manifest (rows/bytes/reason per file +
+    the segment lineage). Same-filesystem renames; counted from parquet
+    footers. Returns the quarantined row count (0 → no manifest)."""
+    if not quarantine_runs:
+        return 0
+    frecs = []
+    total = 0
+    for grp, files in quarantine_runs:
+        reason = _DLQ_REASON[grp]
+        dest = lake_dir / _QUARANTINE / f"commit={commit_id}" / f"reason={reason}"
+        dest.mkdir(parents=True, exist_ok=True)
+        for f in files:
+            rows = pq.ParquetFile(f).metadata.num_rows
+            nbytes = f.stat().st_size
+            rel = str(Path(_QUARANTINE) / f"commit={commit_id}" / f"reason={reason}" / f.name)
+            os.replace(f, lake_dir / rel)
+            frecs.append({"path": rel, "rows": rows, "bytes": nbytes, "reason": reason})
+            total += rows
+    mf.atomic_write_json(
+        {"commit": commit_id, "segments": sorted(seg_names), "rows": total,
+         "files": frecs},
+        lake_dir / mf.MANIFEST_DIR / f"quarantine-{commit_id}.json",
+    )
+    return total
+
+
+def _quarantine_manifests(lake_dir: Path) -> list[dict]:
+    out = []
+    for p in sorted((Path(lake_dir) / mf.MANIFEST_DIR).glob("quarantine-*.json")):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def _rollback_orphan_quarantine(lake_dir: Path, manifests: dict[int, dict]) -> int:
+    """Remove quarantine entries whose commit never reached the shard
+    manifests (crash between quarantine landing and the commit point).
+    Their segments read as uncommitted, so the caller is about to
+    re-replay them — the rows will quarantine again under the new
+    commit. Runs under the lake lock."""
+    committed: set[str] | None = None
+    for m in manifests.values():
+        s = set(m["committed_segments"])
+        committed = s if committed is None else (committed & s)
+    committed = committed or set()
+    removed = 0
+    for rec in _quarantine_manifests(lake_dir):
+        if manifests and set(rec["segments"]) <= committed:
+            continue
+        shutil.rmtree(
+            Path(lake_dir) / _QUARANTINE / f"commit={rec['commit']}",
+            ignore_errors=True,
+        )
+        try:
+            (Path(lake_dir) / mf.MANIFEST_DIR / f"quarantine-{rec['commit']}.json").unlink()
+        except OSError:
+            pass
+        removed += 1
+    return removed
+
+
+def read_quarantine(lake_dir: str | Path) -> ray.data.Dataset:
+    """The committed dead-letter rows as a streaming Dataset: original
+    event envelope (unified schema) plus a ``dlq_reason`` column.
+    Empty-lake/empty-queue safe."""
+    lake_dir = Path(lake_dir)
+    by_reason: dict[str, list[str]] = {}
+    for rec in _quarantine_manifests(lake_dir):
+        for f in rec["files"]:
+            by_reason.setdefault(f["reason"], []).append(str(lake_dir / f["path"]))
+    if not by_reason:
+        empty = pa.schema(list(EVENT_SCHEMA) + [pa.field("dlq_reason", pa.string())])
+        return ray.data.from_arrow(empty.empty_table())
+
+    parts = []
+    for reason in sorted(by_reason):
+        ds, unified = _read_unified(by_reason[reason])
+
+        def tag(t: pa.Table, _r: str = reason) -> pa.Table:
+            t = conform(t, EVENT_SCHEMA)
+            return t.append_column(
+                "dlq_reason", pa.nulls(t.num_rows, pa.string()).fill_null(_r)
+            )
+
+        parts.append(ds.map_batches(tag, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def _gc(lake_dir: Path, manifests: dict[int, dict], keep_incoming: str | None) -> int:
     """Remove data files not referenced by any manifest and stale
     delta-run dirs (both are invisible to readers by construction)."""
@@ -701,6 +839,18 @@ def _gc(lake_dir: Path, manifests: dict[int, dict], keep_incoming: str | None) -
     if inc.exists():
         for d in inc.iterdir():
             if keep_incoming is None or d.name != keep_incoming:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+    # quarantine dirs whose per-commit manifest never landed (crash
+    # mid-move): invisible to read_quarantine, safe to drop
+    qroot = Path(lake_dir) / _QUARANTINE
+    if qroot.exists():
+        manifested = {
+            p.stem.split("-", 1)[1]
+            for p in (Path(lake_dir) / mf.MANIFEST_DIR).glob("quarantine-*.json")
+        }
+        for d in qroot.glob("commit=*"):
+            if d.name.split("=", 1)[1] not in manifested:
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1
     return removed

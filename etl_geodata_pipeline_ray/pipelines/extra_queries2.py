@@ -690,3 +690,85 @@ GROUP BY 1"""
 Q58_SQL = _q58_relax_sql()
 
 EXTRA_QUERIES2["q58_graph_traversal"] = (q58_graph_traversal, Q58_SQL)
+
+
+# ---------------------------------------------------------------- q59
+def q59_dlq_quarantine(sf_dir: str) -> pd.DataFrame:
+    """Dead-letter queue through the REAL engine, driver-oracle-checked:
+    a WAL is derived deterministically from events exactly like q52,
+    except `event_id % 41 == 0` rows carry an unknown op code and
+    `event_id % 43 == 0` rows a NULL conv_id (no merge key). The
+    engine must quarantine BOTH classes — routed to negative merge
+    groups in stage A, committed under `quarantine/commit=*/reason=*`
+    with a per-commit manifest — while the lake itself stays clean.
+    Returned: the committed quarantine, reason attached, by op_seq.
+    Reason precedence mirrors route(): unroutable_key wins when a row
+    is both unroutable and op-invalid (event_id % (41*43) == 0)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..cdc.replay import read_quarantine, replay
+    from ..cdc.schema import EVENT_SCHEMA
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    ids = ev["event_id"].to_numpy()
+    split = int(ids.max()) // 2
+    role = ev["event_type"].to_numpy(zero_copy_only=False)
+    op = np.where(ids % 41 == 0, "X", np.where(role == "error", "D", "U"))
+    cid = pc.cast(ev["user_id"], pa.string()).to_numpy(zero_copy_only=False)
+    cid = np.where(ids % 43 == 0, None, cid)
+    env = pa.table(
+        {
+            "op": pa.array(op),
+            "op_seq": pa.array(ids, type=pa.int64()),
+            "ts": ev["ts"].cast(pa.timestamp("us")),
+            "conv_id": pa.array(cid, type=pa.string()),
+            "turn_idx": pa.array((ids % 25).astype(np.int32)),
+            "role": pa.array(role),
+            "text": ev["props"].cast(pa.large_string()),
+            "tool": pa.array(np.where(ids >= split, role, None)),
+        },
+        schema=EVENT_SCHEMA,
+    )
+    root = Path("/tmp/graft_q59") / f"{Path(sf_dir).name}-pid{os.getpid()}"
+    wal, lake = root / "wal", root / "lake"
+    shutil.rmtree(root, ignore_errors=True)
+    wal.mkdir(parents=True)
+    n = env.num_rows
+    seg_rows = max(500, (n + 7) // 8)
+    cut = int(np.searchsorted(ids, split))
+    bounds = sorted({0, cut, n} | set(range(0, n, seg_rows)))
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        seg = env.slice(lo, hi - lo)
+        if int(ids[lo]) < split:
+            seg = seg.drop_columns(["tool"])  # pre-schema-change segment
+        pq.write_table(seg, wal / f"seg-{lo:012d}.parquet", row_group_size=4096)
+    replay(wal, lake, num_shards=16)
+    out = read_quarantine(lake).to_pandas()
+    return out.sort_values("op_seq").reset_index(drop=True)
+
+
+Q59_SQL = """
+WITH env AS (
+  SELECT CASE WHEN event_id % 41 = 0 THEN 'X'
+              WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS op_seq, ts,
+         CASE WHEN event_id % 43 = 0 THEN NULL
+              ELSE CAST(user_id AS VARCHAR) END AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text,
+         CASE WHEN event_id >= (SELECT max(event_id) // 2 FROM events)
+              THEN event_type END AS tool
+  FROM events)
+SELECT op, op_seq, ts, conv_id, turn_idx, role, text, tool,
+       CASE WHEN conv_id IS NULL THEN 'unroutable_key'
+            ELSE 'invalid_op' END AS dlq_reason
+FROM env
+WHERE conv_id IS NULL OR op NOT IN ('I', 'U', 'D')
+ORDER BY op_seq
+"""
+
+EXTRA_QUERIES2["q59_dlq_quarantine"] = (q59_dlq_quarantine, Q59_SQL)
