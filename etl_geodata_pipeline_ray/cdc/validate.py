@@ -16,6 +16,10 @@ verdict rows) and checks:
   I4  every row hash-routes to the shard directory that holds it
       (misplaced rows = 0)
   I5  manifest row/byte counts match the files on disk
+  I6  every quarantine manifest's files exist with the recorded
+      row/byte counts, only known reasons appear, and no quarantined
+      row carries a valid (op, merge-key) combination — i.e. nothing
+      was dead-lettered that should have merged
 """
 
 from __future__ import annotations
@@ -87,4 +91,47 @@ def validate_lake(lake_dir: str | Path) -> dict:
     ds = ray.data.from_pandas(pd.DataFrame(items)).repartition(min(len(items), 64))
     res = ds.map_batches(check, batch_format="pandas", batch_size=4).to_pandas()
     bad = [f"{r['path']}: {r['violations']}" for _, r in res.iterrows() if r["violations"]]
-    return {"ok": not bad, "files_checked": len(res), "violations": bad}
+    n_quar, qbad = _check_quarantine(lake_dir)
+    bad.extend(qbad)
+    return {"ok": not bad, "files_checked": len(res) + n_quar, "violations": bad}
+
+
+def _check_quarantine(lake_dir: Path) -> tuple[int, list[str]]:
+    """I6 — driver-side (quarantine is small by construction; a lake
+    where it isn't has a worse problem than validation cost)."""
+    from .replay import _DLQ_REASON, read_quarantine  # noqa: PLC0415
+
+    from . import manifest as _mf
+
+    recs = []
+    for p in sorted((lake_dir / _mf.MANIFEST_DIR).glob("quarantine-*.json")):
+        import json
+
+        with open(p) as f:
+            recs.append(json.load(f))
+    if not recs:
+        return 0, []
+    bad: list[str] = []
+    n = 0
+    known = set(_DLQ_REASON.values())
+    for rec in recs:
+        for fr in rec["files"]:
+            n += 1
+            fp = lake_dir / fr["path"]
+            if fr["reason"] not in known:
+                bad.append(f"{fr['path']}: I6 unknown reason {fr['reason']!r}")
+            if not fp.exists():
+                bad.append(f"{fr['path']}: I6 missing quarantine file")
+                continue
+            meta = pq.ParquetFile(fp).metadata
+            if meta.num_rows != fr["rows"]:
+                bad.append(f"{fr['path']}: I6 rows {meta.num_rows} != manifest {fr['rows']}")
+            if fp.stat().st_size != fr["bytes"]:
+                bad.append(f"{fr['path']}: I6 bytes != manifest")
+    q = read_quarantine(lake_dir).to_pandas()
+    valid_op = q["op"].isin(list(_VALID_OPS))
+    keyed = q["conv_id"].notna() & q["turn_idx"].notna() & q["ts"].notna()
+    wrongly_quarantined = int((valid_op & keyed).sum())
+    if wrongly_quarantined:
+        bad.append(f"I6 {wrongly_quarantined} quarantined rows are valid events")
+    return n, bad

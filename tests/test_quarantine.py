@@ -118,6 +118,22 @@ def test_unmanifested_quarantine_dir_is_gcd(ray_session, tmp_path):
     assert len(_logical_quarantine(lake)) > n  # new commit's rejects landed
 
 
+def test_validate_lake_covers_quarantine(ray_session, tmp_path):
+    from etl_geodata_pipeline_ray.cdc.validate import validate_lake
+
+    wal, lake, _ = _setup(tmp_path)
+    v = validate_lake(lake)
+    assert v["ok"], v["violations"]
+
+    # corrupt one quarantine manifest row count -> I6 fires
+    mpath = next((lake / "_manifests").glob("quarantine-*.json"))
+    rec = json.loads(mpath.read_text())
+    rec["files"][0]["rows"] += 1
+    mpath.write_text(json.dumps(rec))
+    v2 = validate_lake(lake)
+    assert not v2["ok"] and any("I6" in s for s in v2["violations"])
+
+
 def test_clean_wal_has_no_quarantine(ray_session, tmp_path):
     spec = WalSpec(n_convs=60, seed=21)
     wal, lake, stats = _setup(tmp_path, spec)
