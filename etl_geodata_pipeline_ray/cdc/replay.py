@@ -288,9 +288,18 @@ def replay(
     mode: str = "rewrite",
     compact_runs: int = 8,
     max_bytes_per_commit: int = 6 << 30,
+    retain_versions: int = 2,
 ) -> dict:
     """Replay all uncommitted WAL segments into the lake. Idempotent:
     call again after a crash and it resumes from the manifests.
+
+    ``retain_versions`` (pinned in ``_lake.json`` at lake creation,
+    like ``num_shards``) keeps that many manifest versions per shard:
+    GC never deletes a file referenced by a retained version, so a
+    concurrent reader that resolved its file list from the previous
+    commit cannot have files unlinked mid-read, and
+    ``read_lake(at_commit=...)`` can time-travel to any retained
+    commit. ``expire_snapshots`` trims history to reclaim space.
 
     ``mode="rewrite"`` — every touched shard is fully compacted (delta
     + base → one file per salt). Simple reads; write amplification ∝
@@ -323,6 +332,8 @@ def replay(
         with open(meta_path) as f:
             meta = json.load(f)
         num_shards = meta["num_shards"]
+        # pre-retention lakes default to 1 (the old delete-on-commit GC)
+        retain_versions = meta.get("retain_versions", 1)
         if meta.get("wal_id") not in (None, wal_id):
             raise ValueError(
                 f"lake {lake_dir} tails WAL stream {meta['wal_id']!r}; "
@@ -330,7 +341,12 @@ def replay(
                 "stream offsets and would collide. Use a new lake dir."
             )
     else:
-        mf.atomic_write_json({"num_shards": num_shards, "wal_id": wal_id}, meta_path)
+        mf.atomic_write_json(
+            {"num_shards": num_shards, "wal_id": wal_id,
+             "retain_versions": max(1, retain_versions)},
+            meta_path,
+        )
+    retain_versions = max(1, retain_versions)
 
     import time as _time
 
@@ -357,7 +373,7 @@ def replay(
         if total_bytes <= max_bytes_per_commit or len(pending) == 1:
             return _replay_locked(
                 lake_dir, pending, manifests, num_shards, salt_threshold,
-                batch_size, mode, compact_runs, timings,
+                batch_size, mode, compact_runs, timings, retain_versions,
             )
 
         # micro-batch the backlog: greedy size-bounded groups of
@@ -393,7 +409,7 @@ def replay(
             )
             st = _replay_locked(
                 lake_dir, b, manifests, num_shards, salt_threshold,
-                batch_size, batch_mode, compact_runs, {},
+                batch_size, batch_mode, compact_runs, {}, retain_versions,
             )
             agg["committed_segments"] += st["committed_segments"]
             agg["shards_updated"] = max(agg["shards_updated"], st["shards_updated"])
@@ -406,7 +422,7 @@ def replay(
             manifests = mf.read_all_manifests(lake_dir)
         if mode == "rewrite":
             _t1 = _time.perf_counter()
-            cst = _compact_locked(lake_dir, salt_threshold)
+            cst = _compact_locked(lake_dir, salt_threshold, retain_versions)
             timings["final_compact"] = round(_time.perf_counter() - _t1, 3)
             agg["shards_compacted"] = cst.get("shards_compacted", 0)
         return agg
@@ -422,6 +438,7 @@ def _replay_locked(
     mode: str,
     compact_runs: int,
     timings: dict,
+    retain_versions: int = 1,
 ) -> dict:
     import time as _time
 
@@ -563,6 +580,7 @@ def _replay_locked(
     quarantined_rows = _commit_quarantine(
         lake_dir, commit_id, quarantine_runs, seg_names
     )
+    _append_commit_log(lake_dir, commit_id, seg_names)
     lineage = [
         {"segment": Path(p).name, "offset_start": mf.segment_offset(p), "commit": commit_id}
         for p in pending
@@ -600,6 +618,9 @@ def _replay_locked(
             "shard": sh,
             "version": int(rows[0]["version"]),
             "salt_k": k,
+            "commit": commit_id,
+            "first_commit": (old_m or {}).get("first_commit", commit_id),
+            "history": _push_history(old_m, retain_versions),
             "files": files,
             "committed_segments": sorted(
                 set(old_m["committed_segments"] if old_m else []) | set(seg_names)
@@ -628,6 +649,8 @@ def _replay_locked(
                 "shard": sh,
                 "version": 0,
                 "salt_k": 1,
+                "commit": commit_id,
+                "first_commit": commit_id,
                 "files": [],
                 "committed_segments": sorted(seg_names),
                 "rows": 0,
@@ -664,11 +687,18 @@ def compact(
     replay (new files invisible until the manifest lands); committed
     segment bookkeeping is untouched."""
     lake_dir = Path(lake_dir)
+    meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
+    retain = 1
+    if meta_path.exists():
+        with open(meta_path) as f:
+            retain = json.load(f).get("retain_versions", 1)
     with mf.LakeLock(lake_dir):
-        return _compact_locked(lake_dir, salt_threshold)
+        return _compact_locked(lake_dir, salt_threshold, retain)
 
 
-def _compact_locked(lake_dir: Path, salt_threshold: int) -> dict:
+def _compact_locked(
+    lake_dir: Path, salt_threshold: int, retain_versions: int = 1
+) -> dict:
     manifests = mf.read_all_manifests(lake_dir)
     with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
         num_shards = json.load(f)["num_shards"]
@@ -701,9 +731,13 @@ def _compact_locked(lake_dir: Path, salt_threshold: int) -> dict:
     by_shard: dict[int, list[dict]] = {}
     for r in stats_rows:
         by_shard.setdefault(int(r["shard"]), []).append(r)
+    commit_id = uuid.uuid4().hex[:12]
+    _append_commit_log(lake_dir, commit_id, [])
     new_manifests = dict(manifests)
     for sh, rows in sorted(by_shard.items()):
         m = dict(manifests[sh])
+        m["history"] = _push_history(manifests[sh], retain_versions)
+        m["commit"] = commit_id
         m["version"] = int(rows[0]["version"])
         m["salt_k"] = int(rows[0]["k"])
         m["files"] = sorted(
@@ -720,6 +754,112 @@ def _compact_locked(lake_dir: Path, salt_threshold: int) -> dict:
         new_manifests[sh] = m
     removed = _gc(lake_dir, new_manifests, keep_incoming=None)
     return {"shards_compacted": len(by_shard), "gc_files": removed}
+
+
+def _push_history(old_m: dict | None, retain_versions: int) -> list[dict]:
+    """History entries (newest first) for a shard manifest about to be
+    replaced: the outgoing current version plus the old history,
+    truncated to ``retain_versions - 1`` entries. GC keeps every file
+    they reference, so a reader resolved against a retained version
+    never has files unlinked mid-read."""
+    if old_m is None or retain_versions <= 1:
+        return []
+    head = {
+        "version": old_m["version"],
+        "salt_k": old_m.get("salt_k", 1),
+        "commit": old_m.get("commit"),
+        "files": old_m["files"],
+    }
+    return ([head] + old_m.get("history", []))[: retain_versions - 1]
+
+
+def _append_commit_log(lake_dir: Path, commit_id: str, segments: list[str]) -> None:
+    """Ordered commit log (``_manifests/_commits.json``) — the global
+    ordering ``read_lake(at_commit=...)`` resolves against. Appended
+    under the lake lock BEFORE the shard manifests land, so a logged
+    commit that crashed pre-manifest reads as an empty commit (state
+    unchanged at that point in the order) instead of an unknown id.
+    One small record per commit: negligible even at 10^10-event
+    commit cadence."""
+    p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.json"
+    log = []
+    if p.exists():
+        with open(p) as f:
+            log = json.load(f)
+    log.append({"commit": commit_id, "segments": segments})
+    mf.atomic_write_json(log, p)
+
+
+def commit_log(lake_dir: str | Path) -> list[dict]:
+    """The ordered commit log (oldest first); [] for a fresh lake."""
+    p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.json"
+    if not p.exists():
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _snapshot_manifests(
+    lake_dir: Path, manifests: dict[int, dict], at_commit: str
+) -> dict[int, dict]:
+    """Resolve each shard's manifest entry as of ``at_commit``. Raises
+    if the commit is unknown or its state has been expired out of a
+    shard's retained history (detectable via the shard's
+    ``first_commit``: created-later shards are legitimately empty,
+    expired ones are an error, never a silent wrong answer)."""
+    ranks = {e["commit"]: i for i, e in enumerate(commit_log(lake_dir))}
+    if at_commit not in ranks:
+        raise ValueError(
+            f"unknown commit {at_commit!r}; see commit_log() for valid ids"
+        )
+    target = ranks[at_commit]
+    out: dict[int, dict] = {}
+    for sh, m in manifests.items():
+        entries = [
+            {
+                "version": m["version"],
+                "salt_k": m.get("salt_k", 1),
+                "commit": m.get("commit"),
+                "files": m["files"],
+            }
+        ] + m.get("history", [])
+        best, best_rank = None, -2
+        for e in entries:
+            r = ranks.get(e.get("commit"), -1)  # pre-log manifests: oldest
+            if r <= target and r > best_rank:
+                best, best_rank = e, r
+        if best is None:
+            first = m.get("first_commit")
+            if first is not None and ranks.get(first, -1) > target:
+                continue  # shard created after at_commit: empty then
+            raise ValueError(
+                f"commit {at_commit!r} is older than shard {sh}'s retained "
+                f"history (retain_versions; see expire_snapshots)"
+            )
+        if best["files"]:
+            out[sh] = {"shard": sh, **best}
+    return out
+
+
+def expire_snapshots(lake_dir: str | Path, keep: int = 1) -> dict:
+    """Trim every shard's retained history to ``keep`` versions
+    (current included) and GC the files that fall out — the storage
+    lever for long-running lakes. Runs under the lake lock."""
+    lake_dir = Path(lake_dir)
+    with mf.LakeLock(lake_dir):
+        manifests = mf.read_all_manifests(lake_dir)
+        dropped = 0
+        for sh, m in manifests.items():
+            hist = m.get("history", [])
+            if len(hist) <= keep - 1:
+                continue
+            m = dict(m)
+            dropped += len(hist) - max(0, keep - 1)
+            m["history"] = hist[: max(0, keep - 1)]
+            mf.atomic_write_json(m, mf.manifest_path(lake_dir, sh))
+            manifests[sh] = m
+        removed = _gc(lake_dir, manifests, keep_incoming=None)
+        return {"versions_dropped": dropped, "gc_files": removed}
 
 
 def _commit_quarantine(
@@ -827,6 +967,12 @@ def _gc(lake_dir: Path, manifests: dict[int, dict], keep_incoming: str | None) -
     live = {
         str(Path(lake_dir) / f["path"]) for m in manifests.values() for f in m["files"]
     }
+    live |= {
+        str(Path(lake_dir) / f["path"])
+        for m in manifests.values()
+        for h in m.get("history", [])
+        for f in h["files"]
+    }
     removed = 0
     for p in Path(lake_dir).glob("shard=*/*.parquet"):
         if str(p) not in live:
@@ -867,13 +1013,22 @@ def read_lake(
     lake_dir: str | Path,
     columns: list[str] | None = None,
     include_tombstones: bool = False,
+    at_commit: str | None = None,
 ) -> ray.data.Dataset:
     """The committed lake as a streaming Dataset (tombstones filtered,
-    transcript columns selected)."""
+    transcript columns selected). ``at_commit`` time-travels to the
+    state as of that commit id (``commit_log``), as long as it is
+    within the lake's ``retain_versions`` window."""
     manifests = mf.read_all_manifests(lake_dir)
+    if at_commit is not None:
+        manifests = _snapshot_manifests(Path(lake_dir), manifests, at_commit)
     multi_run = any(len(m["files"]) > 1 and m.get("salt_k", 1) < len(m["files"])
                     for m in manifests.values())
-    files = lake_files(lake_dir)
+    files = sorted(
+        str(Path(lake_dir) / f["path"])
+        for m in manifests.values()
+        for f in m["files"]
+    )
     if not files:
         return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
 
@@ -918,9 +1073,19 @@ def read_lake(
     )
 
 
-def lake_final_table(lake_dir: str | Path) -> pa.Table:
+def lake_final_table(lake_dir: str | Path, at_commit: str | None = None) -> pa.Table:
     """Driver-side materialization for tests/small scales only."""
-    files = lake_files(lake_dir)
+    if at_commit is None:
+        files = lake_files(lake_dir)
+    else:
+        manifests = _snapshot_manifests(
+            Path(lake_dir), mf.read_all_manifests(lake_dir), at_commit
+        )
+        files = sorted(
+            str(Path(lake_dir) / f["path"])
+            for m in manifests.values()
+            for f in m["files"]
+        )
     if not files:
         return TRANSCRIPT_SCHEMA.empty_table()
     from ..state.merge_index import lww_merge_sorted

@@ -1,0 +1,106 @@
+"""Snapshot retention + time travel: with ``retain_versions=R`` (pinned
+in ``_lake.json``), GC keeps the files of the last R manifest versions
+per shard, so (a) a concurrent reader resolved against the previous
+commit can't have files unlinked mid-read, and (b)
+``read_lake(at_commit=...)`` reconstructs any retained commit's state.
+``expire_snapshots`` is the storage lever; expired reads RAISE rather
+than silently answering from the wrong state."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from etl_geodata_pipeline_ray.cdc.generator import WalSpec, write_wal
+from etl_geodata_pipeline_ray.cdc.oracle import oracle_final_state
+from etl_geodata_pipeline_ray.cdc.replay import (
+    commit_log,
+    expire_snapshots,
+    lake_final_table,
+    read_lake,
+    replay,
+)
+
+SPEC = WalSpec(
+    n_convs=250, seed=31, dup_rate=0.05, shuffle_window=200,
+    seg_size=700, schema_change_frac=0.5,
+)
+
+
+def _incremental(tmp_path: Path, mode: str, retain: int = 2):
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(SPEC, wal, overwrite=True)
+    segs = sorted(wal.glob("seg-*.parquet"))
+    for k in (2, 4, len(segs)):
+        replay(wal, lake, num_shards=8, mode=mode,
+               max_segments=k, retain_versions=retain)
+    return wal, lake, segs
+
+
+def _prefix_oracle(tmp_path: Path, segs, k: int):
+    d = tmp_path / f"wal_prefix_{k}"
+    d.mkdir(exist_ok=True)
+    for p in segs[:k]:
+        shutil.copy(p, d / p.name)
+    return oracle_final_state(d)
+
+
+@pytest.mark.parametrize("mode", ["append", "rewrite"])
+def test_time_travel_matches_prefix_oracle(ray_session, tmp_path, mode):
+    wal, lake, segs = _incremental(tmp_path, mode)
+    log = commit_log(lake)
+    # rewrite-mode incremental replays also log their trailing
+    # compaction commits; data commits are the ones with segments
+    data = [e for e in log if e["segments"]]
+    assert len(data) == 3
+    c2, c3 = data[1]["commit"], data[2]["commit"]
+    assert lake_final_table(lake, at_commit=c3).equals(oracle_final_state(wal))
+    assert lake_final_table(lake, at_commit=c2).equals(
+        _prefix_oracle(tmp_path, segs, 4)
+    )
+    # streaming read resolves the same snapshot
+    n = read_lake(lake, at_commit=c2).count()
+    assert n == _prefix_oracle(tmp_path, segs, 4).num_rows
+
+
+def test_previous_version_files_survive_one_commit(ray_session, tmp_path):
+    """Rewrite mode replaces every touched shard's file each commit;
+    with retain_versions=2 the replaced files must still exist (this is
+    the concurrent-reader guarantee), and expire_snapshots removes
+    them."""
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(SPEC, wal, overwrite=True)
+    segs = sorted(wal.glob("seg-*.parquet"))
+    replay(wal, lake, num_shards=8, max_segments=3, retain_versions=2)
+    v1_files = set(p.name for p in lake.glob("shard=*/*.parquet"))
+    replay(wal, lake, num_shards=8)
+    on_disk = set(p.name for p in lake.glob("shard=*/*.parquet"))
+    assert v1_files <= on_disk, "previous-version files were GC'd while retained"
+    st = expire_snapshots(lake, keep=1)
+    assert st["gc_files"] >= len(v1_files) - 1
+    left = set(p.name for p in lake.glob("shard=*/*.parquet"))
+    assert not (v1_files & left)
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_expired_snapshot_raises_not_lies(ray_session, tmp_path):
+    wal, lake, segs = _incremental(tmp_path, "rewrite")
+    data = [e for e in commit_log(lake) if e["segments"]]
+    c1 = data[0]["commit"]
+    with pytest.raises(ValueError, match="retained history|older"):
+        lake_final_table(lake, at_commit=c1)
+    with pytest.raises(ValueError, match="unknown commit"):
+        read_lake(lake, at_commit="does-not-exist")
+
+
+def test_retain_one_preserves_old_behavior(ray_session, tmp_path):
+    """retain_versions=1 (and pre-retention lakes) GC immediately —
+    storage identical to the previous design."""
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(SPEC, wal, overwrite=True)
+    replay(wal, lake, num_shards=8, max_segments=3, retain_versions=1)
+    v1_files = set(p.name for p in lake.glob("shard=*/*.parquet"))
+    replay(wal, lake, num_shards=8)
+    on_disk = set(p.name for p in lake.glob("shard=*/*.parquet"))
+    assert not (v1_files & on_disk), "retain=1 must not keep old versions"
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
