@@ -8,6 +8,9 @@ equivalent surface for the Ray engine:
     python -m etl_geodata_pipeline_ray tail     <wal> <lake> [opts]
     python -m etl_geodata_pipeline_ray run-spec <spec.yaml> [-p k=v ...]
     python -m etl_geodata_pipeline_ray query    <name> <sf_dir>
+    python -m etl_geodata_pipeline_ray quarantine <lake>
+    python -m etl_geodata_pipeline_ray log      <lake>
+    python -m etl_geodata_pipeline_ray expire   <lake> [--keep N]
 
 The CLI owns its Ray session (init guarded, shutdown on exit); library
 code never calls ray.init().
@@ -47,12 +50,24 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--mode", choices=["rewrite", "append"], default="rewrite")
     pr.add_argument("--salt-threshold", type=int, default=512 << 20)
     pr.add_argument("--max-bytes-per-commit", type=int, default=6 << 30)
+    pr.add_argument("--retain-versions", type=int, default=2)
 
     pc_ = sub.add_parser("compact", help="force full compaction of a lake")
     pc_.add_argument("lake")
 
-    pv = sub.add_parser("validate", help="check lake invariants (I1-I5)")
+    pv = sub.add_parser("validate", help="check lake invariants (I1-I6)")
     pv.add_argument("lake")
+
+    pdl = sub.add_parser("quarantine", help="show committed dead-letter rows")
+    pdl.add_argument("lake")
+    pdl.add_argument("--limit", type=int, default=20)
+
+    pl = sub.add_parser("log", help="show the lake's ordered commit log")
+    pl.add_argument("lake")
+
+    pe = sub.add_parser("expire", help="trim snapshot history, GC old versions")
+    pe.add_argument("lake")
+    pe.add_argument("--keep", type=int, default=1)
 
     pt = sub.add_parser("tail", help="continuously ingest a growing WAL")
     pt.add_argument("wal"), pt.add_argument("lake")
@@ -81,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
                 a.wal, a.lake, num_shards=a.num_shards, mode=a.mode,
                 salt_threshold=a.salt_threshold,
                 max_bytes_per_commit=a.max_bytes_per_commit,
+                retain_versions=a.retain_versions,
             )))
         elif a.cmd == "compact":
             from .cdc.replay import compact
@@ -92,6 +108,20 @@ def main(argv: list[str] | None = None) -> int:
             res = validate_lake(a.lake)
             print(json.dumps(res, indent=1))
             return 0 if res["ok"] else 1
+        elif a.cmd == "quarantine":
+            from .cdc.replay import read_quarantine
+
+            df = read_quarantine(a.lake).to_pandas()
+            print(df.head(a.limit).to_string())
+            print(f"[{len(df)} rows]")
+        elif a.cmd == "log":
+            from .cdc.replay import commit_log
+
+            print(json.dumps(commit_log(a.lake), indent=1))
+        elif a.cmd == "expire":
+            from .cdc.replay import expire_snapshots
+
+            print(json.dumps(expire_snapshots(a.lake, keep=a.keep)))
         elif a.cmd == "tail":
             from .cdc.tail import tail
 
