@@ -431,3 +431,23 @@ def test_salt_split_streams_per_file(ray_session, tmp_path):
         got_sorted = got.sort_by([("conv_id", "ascending"), ("v", "ascending")])
         want_sorted = want.sort_by([("conv_id", "ascending"), ("v", "ascending")])
         assert got_sorted.equals(want_sorted), f"salt {j} mismatch"
+
+
+def test_merge_mem_estimate_bounds(ray_session):
+    """Memory-admission estimates: floor for tiny merges, scales with
+    inputs, and is capped below the cluster memory resource so an
+    oversized task degrades to running alone instead of never
+    scheduling."""
+    import ray as _ray
+
+    from etl_geodata_pipeline_ray.cdc.replay import _merge_mem_bytes
+
+    assert _merge_mem_bytes(0, 0, 1, 0) == 256 << 20  # floor
+    small = _merge_mem_bytes(10 << 20, 100 << 20, 1, 50 << 20)
+    big = _merge_mem_bytes(10 << 20, 10 << 30, 1, 1 << 30)
+    assert small < big
+    cap = int(_ray.cluster_resources().get("memory", 0) * 0.7)
+    if cap:
+        assert _merge_mem_bytes(1 << 40, 1 << 40, 1, 1 << 39) <= cap
+    # salting divides the base share
+    assert _merge_mem_bytes(0, 8 << 30, 8, 0) < _merge_mem_bytes(0, 8 << 30, 1, 0)
