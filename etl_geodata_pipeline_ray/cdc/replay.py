@@ -774,29 +774,44 @@ def _push_history(old_m: dict | None, retain_versions: int) -> list[dict]:
 
 
 def _append_commit_log(lake_dir: Path, commit_id: str, segments: list[str]) -> None:
-    """Ordered commit log (``_manifests/_commits.json``) — the global
+    """Ordered commit log (``_manifests/_commits.jsonl``) — the global
     ordering ``read_lake(at_commit=...)`` resolves against. Appended
     under the lake lock BEFORE the shard manifests land, so a logged
     commit that crashed pre-manifest reads as an empty commit (state
     unchanged at that point in the order) instead of an unknown id.
-    One small record per commit: negligible even at 10^10-event
-    commit cadence."""
-    p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.json"
-    log = []
-    if p.exists():
-        with open(p) as f:
-            log = json.load(f)
-    log.append({"commit": commit_id, "segments": segments})
-    mf.atomic_write_json(log, p)
+    APPEND-ONLY JSONL on purpose: one O(1) fsynced line per commit —
+    never a rewrite of the whole history, which would make commit cost
+    grow with commit count at 10^10-event cadence. Per-commit segment
+    detail lives in the shard manifests' lineage; the log keeps the
+    offset range only."""
+    p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.jsonl"
+    rec = {
+        "commit": commit_id,
+        "n_segments": len(segments),
+        "first_segment": min(segments) if segments else None,
+        "last_segment": max(segments) if segments else None,
+    }
+    with open(p, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
 
 
 def commit_log(lake_dir: str | Path) -> list[dict]:
-    """The ordered commit log (oldest first); [] for a fresh lake."""
-    p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.json"
+    """The ordered commit log (oldest first); [] for a fresh lake. A
+    torn final line (crash mid-append) is skipped — its commit never
+    reached the manifests either, so it does not exist."""
+    p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.jsonl"
     if not p.exists():
         return []
+    out = []
     with open(p) as f:
-        return json.load(f)
+        for line in f:
+            try:
+                out.append(json.loads(line))
+            except ValueError:
+                break  # torn tail: everything after is unreadable
+    return out
 
 
 def _snapshot_manifests(

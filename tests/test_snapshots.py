@@ -51,7 +51,7 @@ def test_time_travel_matches_prefix_oracle(ray_session, tmp_path, mode):
     log = commit_log(lake)
     # rewrite-mode incremental replays also log their trailing
     # compaction commits; data commits are the ones with segments
-    data = [e for e in log if e["segments"]]
+    data = [e for e in log if e["n_segments"]]
     assert len(data) == 3
     c2, c3 = data[1]["commit"], data[2]["commit"]
     assert lake_final_table(lake, at_commit=c3).equals(oracle_final_state(wal))
@@ -85,7 +85,7 @@ def test_previous_version_files_survive_one_commit(ray_session, tmp_path):
 
 def test_expired_snapshot_raises_not_lies(ray_session, tmp_path):
     wal, lake, segs = _incremental(tmp_path, "rewrite")
-    data = [e for e in commit_log(lake) if e["segments"]]
+    data = [e for e in commit_log(lake) if e["n_segments"]]
     c1 = data[0]["commit"]
     with pytest.raises(ValueError, match="retained history|older"):
         lake_final_table(lake, at_commit=c1)
