@@ -1053,30 +1053,60 @@ def read_lake(
         return t.select(columns) if columns else t
 
     if not multi_run:
-        # fully compacted: plain streaming read
-        ds = ray.data.read_parquet(files)
+        # fully compacted: plain streaming read. Column pruning is
+        # pushed to the SCAN (plus `op` for the tombstone filter) —
+        # on wide text rows reading two columns must not decode six.
+        # The explicit schema null-fills late-added columns (e.g.
+        # `tool`) in files written before the schema change.
+        read_schema, need = None, None
+        if columns:
+            want = set(columns) | {"op"}
+            # schema-declared order: the scan validates batch schema
+            # against the provided one positionally
+            need = [f.name for f in EVENT_SCHEMA if f.name in want]
+            read_schema = pa.schema([f for f in EVENT_SCHEMA if f.name in want])
+        ds = ray.data.read_parquet(files, columns=need, schema=read_schema)
         if not include_tombstones:
             ds = ds.map_batches(finalize, batch_format="pyarrow")
+        elif columns:
+            ds = ds.map_batches(
+                lambda t: t.select(columns), batch_format="pyarrow"
+            )
         return ds
 
     # uncompacted LSM runs: LWW-merge per shard at read (one task per
-    # shard; the merge key never crosses shards so this is exact)
+    # shard; the merge key never crosses shards so this is exact).
+    # Each task declares the shard's estimated decoded footprint so
+    # admission is memory-capped, same as the write-side merges.
     lake_str = str(Path(lake_dir))
     shard_files = [
         {"files": [str(Path(lake_str) / f["path"]) for f in m["files"]]}
         for m in manifests.values()
         if m["files"]
     ]
+    max_shard_bytes = max(
+        sum(int(f["bytes"]) for f in m["files"]) for m in manifests.values()
+    )
+    mem = _merge_mem_bytes(0, max_shard_bytes, 1, 0)
+    need_mr = (
+        sorted(set(columns) | {"conv_id", "turn_idx", "ts", "op_seq", "op"})
+        if columns
+        else None
+    )
 
     def merge_read(batch) -> pa.Table:
         from ..state.merge_index import lww_merge_sorted
 
         out = []
         for flist in batch["files"]:
-            t = pa.concat_tables(
-                [pq.read_table(f) for f in list(flist)],
-                promote_options="permissive",
-            )
+            tabs = []
+            for f in list(flist):
+                cols = need_mr
+                if cols is not None:
+                    present = set(pq.read_schema(f).names)
+                    cols = [c for c in need_mr if c in present]
+                tabs.append(pq.read_table(f, columns=cols))
+            t = pa.concat_tables(tabs, promote_options="permissive")
             t = lww_merge_sorted(t)
             if not include_tombstones:
                 t = finalize(t)
@@ -1084,7 +1114,7 @@ def read_lake(
         return pa.concat_tables(out, promote_options="permissive")
 
     return ray.data.from_items(shard_files).map_batches(
-        merge_read, batch_format="pandas", batch_size=1
+        merge_read, batch_format="pandas", batch_size=1, memory=mem
     )
 
 
