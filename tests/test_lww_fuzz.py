@@ -1,23 +1,30 @@
 """Property-based fuzz of the LWW merge semantics: ANY random batch of
 I/U/D events over a tiny keyspace — duplicated, shuffled, with ts
-ties — must replay to exactly the oracle state. Catches tie-break and
-tombstone edge cases the seeded scenarios may miss."""
+ties, sprinkled with INVALID events (unknown op, null merge key) —
+must replay to exactly the oracle state, with exactly the oracle's
+dead-letter set quarantined. Catches tie-break, tombstone, and
+validity-routing edge cases the seeded scenarios may miss."""
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from etl_geodata_pipeline_ray.cdc.oracle import oracle_final_state
-from etl_geodata_pipeline_ray.cdc.replay import lake_final_table, replay
+from etl_geodata_pipeline_ray.cdc.oracle import oracle_final_state, oracle_quarantine
+from etl_geodata_pipeline_ray.cdc.replay import (
+    lake_final_table,
+    read_quarantine,
+    replay,
+)
 from etl_geodata_pipeline_ray.cdc.schema import EVENT_SCHEMA
 
 _BASE_TS = 1_700_000_000_000_000
 
 event_strategy = st.fixed_dictionaries(
     {
-        "op": st.sampled_from(["I", "U", "D"]),
-        "conv_id": st.sampled_from(["a", "b", "c"]),
+        # "X" = unknown op, None conv_id = unroutable: both quarantine
+        "op": st.sampled_from(["I", "U", "D", "I", "U", "D", "X"]),
+        "conv_id": st.sampled_from(["a", "b", "c", "a", "b", "c", None]),
         "turn_idx": st.integers(0, 2),
         # small ts range on purpose → frequent ties, op_seq tiebreaks
         "ts_off": st.integers(0, 4),
@@ -57,7 +64,20 @@ def test_random_event_log_matches_oracle(ray_session, tmp_path_factory, events, 
     if table.num_rows > cut:
         pq.write_table(table.slice(cut), wal / f"seg-{cut:012d}.parquet")
 
-    replay(wal, lake, num_shards=4)
+    st_ = replay(wal, lake, num_shards=4)
     eng = lake_final_table(lake)
     ora = oracle_final_state(wal)
     assert eng.equals(ora), f"\nengine:\n{eng.to_pandas()}\noracle:\n{ora.to_pandas()}"
+    oq = oracle_quarantine(wal)
+    assert st_.get("quarantined_rows", 0) == oq.num_rows
+    if oq.num_rows:
+        got = (
+            read_quarantine(lake)
+            .to_pandas()
+            .sort_values("op_seq")
+            .reset_index(drop=True)
+        )
+        want = oq.to_pandas().reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
