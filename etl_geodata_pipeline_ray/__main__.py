@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
     pl = sub.add_parser("log", help="show the lake's ordered commit log")
     pl.add_argument("lake")
 
+    pst = sub.add_parser("stats", help="manifest-level lake summary (metadata only)")
+    pst.add_argument("lake")
+
     pe = sub.add_parser("expire", help="trim snapshot history, GC old versions")
     pe.add_argument("lake")
     pe.add_argument("--keep", type=int, default=1)
@@ -118,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
             from .cdc.replay import commit_log
 
             print(json.dumps(commit_log(a.lake), indent=1))
+        elif a.cmd == "stats":
+            from .cdc.replay import lake_stats
+
+            print(json.dumps(lake_stats(a.lake), indent=1))
         elif a.cmd == "expire":
             from .cdc.replay import expire_snapshots
 

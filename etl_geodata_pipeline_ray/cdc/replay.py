@@ -1024,6 +1024,41 @@ def lake_files(lake_dir: str | Path) -> list[str]:
     )
 
 
+def lake_stats(lake_dir: str | Path) -> dict:
+    """Manifest-level observability (metadata only — no data files are
+    opened): the reference's ``run_info.json`` summary idea
+    (``make_maps.py:1159-1176``) over the whole lake. Safe to call
+    while a replay runs (manifests are atomic)."""
+    lake_dir = Path(lake_dir)
+    manifests = mf.read_all_manifests(lake_dir)
+    qrecs = _quarantine_manifests(lake_dir)
+    log = commit_log(lake_dir)
+    seg_sets = [set(m["committed_segments"]) for m in manifests.values()]
+    fully_committed = set.intersection(*seg_sets) if seg_sets else set()
+    run_counts = [len(m["files"]) for m in manifests.values()]
+    meta = {}
+    meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
+    if meta_path.exists():
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return {
+        "num_shards": meta.get("num_shards", len(manifests)),
+        "retain_versions": meta.get("retain_versions", 1),
+        "rows": sum(m["rows"] for m in manifests.values()),
+        "bytes": sum(m["bytes"] for m in manifests.values()),
+        "data_files": sum(run_counts),
+        "max_runs_per_shard": max(run_counts, default=0),
+        "salted_shards": sum(1 for m in manifests.values() if m.get("salt_k", 1) > 1),
+        "committed_segments": len(fully_committed),
+        "commits": len(log),
+        "retained_history_versions": sum(
+            len(m.get("history", [])) for m in manifests.values()
+        ),
+        "quarantined_rows": sum(r["rows"] for r in qrecs),
+        "quarantine_commits": len(qrecs),
+    }
+
+
 def read_lake(
     lake_dir: str | Path,
     columns: list[str] | None = None,

@@ -104,3 +104,16 @@ def test_retain_one_preserves_old_behavior(ray_session, tmp_path):
     on_disk = set(p.name for p in lake.glob("shard=*/*.parquet"))
     assert not (v1_files & on_disk), "retain=1 must not keep old versions"
     assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_lake_stats_summary(ray_session, tmp_path):
+    from etl_geodata_pipeline_ray.cdc.replay import lake_stats
+
+    wal, lake, segs = _incremental(tmp_path, "append")
+    s = lake_stats(lake)
+    assert s["num_shards"] == 8 and s["retain_versions"] == 2
+    assert s["commits"] == 3 and s["committed_segments"] == len(segs)
+    # manifest rows count tombstone rows too, so >= the final table
+    assert s["rows"] >= lake_final_table(lake).num_rows > 0
+    assert s["max_runs_per_shard"] >= 2  # append runs accumulated
+    assert s["quarantined_rows"] == 0
