@@ -1064,11 +1064,19 @@ def read_lake(
     columns: list[str] | None = None,
     include_tombstones: bool = False,
     at_commit: str | None = None,
+    predicate=None,
 ) -> ray.data.Dataset:
     """The committed lake as a streaming Dataset (tombstones filtered,
     transcript columns selected). ``at_commit`` time-travels to the
     state as of that commit id (``commit_log``), as long as it is
-    within the lake's ``retain_versions`` window."""
+    within the lake's ``retain_versions`` window. ``predicate`` (a
+    ``pyarrow.dataset`` expression) is pushed to the SCAN on compacted
+    lakes (row-group pruning); on multi-run LSM lakes it is applied
+    AFTER the per-shard LWW merge — pre-merge filtering would be
+    wrong, since a matching stale revision may be superseded by a
+    non-matching newer one. With ``columns``, the predicate may only
+    reference requested columns or merge keys on the multi-run
+    path."""
     manifests = mf.read_all_manifests(lake_dir)
     if at_commit is not None:
         manifests = _snapshot_manifests(Path(lake_dir), manifests, at_commit)
@@ -1100,7 +1108,9 @@ def read_lake(
             # against the provided one positionally
             need = [f.name for f in EVENT_SCHEMA if f.name in want]
             read_schema = pa.schema([f for f in EVENT_SCHEMA if f.name in want])
-        ds = ray.data.read_parquet(files, columns=need, schema=read_schema)
+        ds = ray.data.read_parquet(
+            files, columns=need, schema=read_schema, filter=predicate
+        )
         if not include_tombstones:
             ds = ds.map_batches(finalize, batch_format="pyarrow")
         elif columns:
@@ -1143,6 +1153,8 @@ def read_lake(
                 tabs.append(pq.read_table(f, columns=cols))
             t = pa.concat_tables(tabs, promote_options="permissive")
             t = lww_merge_sorted(t)
+            if predicate is not None:
+                t = t.filter(predicate)
             if not include_tombstones:
                 t = finalize(t)
             out.append(t)

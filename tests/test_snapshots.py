@@ -117,3 +117,35 @@ def test_lake_stats_summary(ray_session, tmp_path):
     assert s["rows"] >= lake_final_table(lake).num_rows > 0
     assert s["max_runs_per_shard"] >= 2  # append runs accumulated
     assert s["quarantined_rows"] == 0
+
+
+def test_read_lake_predicate_pushdown(ray_session, tmp_path):
+    """Predicate semantics must be identical on both branches: scan
+    pushdown (compacted) and post-LWW-merge filter (multi-run)."""
+    import pyarrow.dataset as pads
+
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(SPEC, wal, overwrite=True)
+    replay(wal, lake, num_shards=8)
+    segs = sorted(wal.glob("seg-*.parquet"))
+    for k in (2, len(segs)):
+        replay(wal, lake2 := tmp_path / "lake2", num_shards=8,
+               mode="append", max_segments=k)
+
+    pred = pads.field("turn_idx") >= 5
+    ora = oracle_final_state(wal).to_pandas()
+    want = (
+        ora[ora["turn_idx"] >= 5]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for lk in (lake, lake2):
+        got = (
+            read_lake(lk, predicate=pred)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
