@@ -8,6 +8,7 @@ equivalent surface for the Ray engine:
     python -m etl_geodata_pipeline_ray tail     <wal> <lake> [opts]
     python -m etl_geodata_pipeline_ray run-spec <spec.yaml> [-p k=v ...]
     python -m etl_geodata_pipeline_ray query    <name> <sf_dir>
+    python -m etl_geodata_pipeline_ray stats    <lake>
     python -m etl_geodata_pipeline_ray quarantine <lake>
     python -m etl_geodata_pipeline_ray log      <lake>
     python -m etl_geodata_pipeline_ray expire   <lake> [--keep N]

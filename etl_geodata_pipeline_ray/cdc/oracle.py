@@ -56,8 +56,6 @@ def oracle_quarantine(wal_dir: str | Path) -> pa.Table:
     log = log.append_column("dlq_reason", reason)
     # duplicates in the delivered stream quarantine once per delivery;
     # dedup to the logical event for comparison
-    import pandas as pd  # noqa: F401
-
     df = log.to_pandas().drop_duplicates(subset=["op_seq"]).sort_values("op_seq")
     return pa.Table.from_pandas(df, preserve_index=False).cast(
         pa.schema(list(EVENT_SCHEMA) + [pa.field("dlq_reason", pa.string())])

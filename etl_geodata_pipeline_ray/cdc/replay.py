@@ -705,7 +705,10 @@ def _compact_locked(
 
     plans = []
     for sh, m in manifests.items():
-        if len(m["files"]) <= 1:
+        # fully compacted = one file per salt (same test read_lake
+        # uses); a salted shard at len(files) == salt_k must NOT be
+        # re-read and re-written every trailing compaction
+        if len(m["files"]) <= m.get("salt_k", 1):
             continue
         nbytes = sum(f["bytes"] for f in m["files"])
         k = max(1, int(np.ceil(nbytes / salt_threshold)))
@@ -1074,9 +1077,11 @@ def read_lake(
     lakes (row-group pruning); on multi-run LSM lakes it is applied
     AFTER the per-shard LWW merge — pre-merge filtering would be
     wrong, since a matching stale revision may be superseded by a
-    non-matching newer one. With ``columns``, the predicate may only
-    reference requested columns or merge keys on the multi-run
-    path."""
+    non-matching newer one. With ``columns``, the predicate may
+    reference any event column, except when ``tool`` (the late-added
+    column) is requested on a compacted lake — there the declared
+    subset schema limits predicates to the projected columns; on the
+    multi-run path merge keys are always referenceable."""
     manifests = mf.read_all_manifests(lake_dir)
     if at_commit is not None:
         manifests = _snapshot_manifests(Path(lake_dir), manifests, at_commit)
@@ -1104,10 +1109,18 @@ def read_lake(
         read_schema, need = None, None
         if columns:
             want = set(columns) | {"op"}
-            # schema-declared order: the scan validates batch schema
-            # against the provided one positionally
+            # EVENT_SCHEMA order: the scan validates batches against
+            # the declared schema positionally
             need = [f.name for f in EVENT_SCHEMA if f.name in want]
-            read_schema = pa.schema([f for f in EVENT_SCHEMA if f.name in want])
+            if "tool" in want:
+                # `tool` is the late-added column: declare the subset
+                # schema so pre-evolution files null-fill it. Trade-off
+                # (documented): with a subset schema the predicate may
+                # only reference projected columns.
+                read_schema = pa.schema([f for f in EVENT_SCHEMA if f.name in want])
+            # else: leave schema unified from footers — the dataset
+            # schema stays FULL, so the predicate may reference any
+            # event column while only `need` is decoded
         ds = ray.data.read_parquet(
             files, columns=need, schema=read_schema, filter=predicate
         )
@@ -1157,6 +1170,10 @@ def read_lake(
                 t = t.filter(predicate)
             if not include_tombstones:
                 t = finalize(t)
+            elif columns:
+                # same output shape as the compacted branch: exactly
+                # the requested columns, merge keys not leaked
+                t = t.select(columns)
             out.append(t)
         return pa.concat_tables(out, promote_options="permissive")
 

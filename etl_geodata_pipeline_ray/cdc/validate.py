@@ -99,16 +99,9 @@ def validate_lake(lake_dir: str | Path) -> dict:
 def _check_quarantine(lake_dir: Path) -> tuple[int, list[str]]:
     """I6 — driver-side (quarantine is small by construction; a lake
     where it isn't has a worse problem than validation cost)."""
-    from .replay import _DLQ_REASON, read_quarantine  # noqa: PLC0415
+    from .replay import _DLQ_REASON, _quarantine_manifests, read_quarantine
 
-    from . import manifest as _mf
-
-    recs = []
-    for p in sorted((lake_dir / _mf.MANIFEST_DIR).glob("quarantine-*.json")):
-        import json
-
-        with open(p) as f:
-            recs.append(json.load(f))
+    recs = _quarantine_manifests(lake_dir)
     if not recs:
         return 0, []
     bad: list[str] = []

@@ -251,7 +251,11 @@ def shuffle_join(
         for n in rpayload:
             cols[rename[n]] = pa.nulls(t.num_rows, type=rtypes[n])
         cols["_side"] = pa.nulls(t.num_rows, type=pa.int8()).fill_null(0)
-        cols["_bucket"] = _bucket_col(t, on)
+        # hash the CAST columns (exactly like widen_right): a left batch
+        # whose physical key dtype drifted from the declared schema
+        # (pandas null-upcast int64→float64) must take the same numeric
+        # hash path as the right side, or equal keys split buckets
+        cols["_bucket"] = _bucket_col(pa.table(cols), on)
         return pa.table(cols, schema=exchange_schema)
 
     def widen_right(t: pa.Table) -> pa.Table:

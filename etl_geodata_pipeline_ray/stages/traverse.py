@@ -82,7 +82,13 @@ class DijkstraScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         nodes = batch[self.node_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(self.output, pa.array(self.dist[nodes]))
+        # out-of-range ids (negative sentinels, unknown nodes) score
+        # inf, not another node's distance — negative numpy indices
+        # would silently wrap around
+        ok = (nodes >= 0) & (nodes < len(self.dist))
+        d = np.full(len(nodes), np.inf)
+        d[ok] = self.dist[nodes[ok]]
+        return batch.append_column(self.output, pa.array(d))
 
 
 def build_edge_table(

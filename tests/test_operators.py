@@ -415,3 +415,35 @@ def test_semi_anti_join_broadcast_vs_shuffle_property(ray_session):
             ).to_pandas()
             assert norm(bcast).equals(norm(want)), (trial, anti, "broadcast")
             assert norm(shuf).equals(norm(want)), (trial, anti, "shuffle")
+
+
+def test_shuffle_join_dtype_drifted_left_batches(ray_session):
+    """Regression: a left batch whose physical key dtype drifted from
+    the declared left_schema (pandas null-upcast int64 -> float64) must
+    hash through the same numeric path as the right side — equal keys
+    in different dtypes previously split buckets and silently dropped
+    matches."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from etl_geodata_pipeline_ray.stages.relational import shuffle_join
+
+    # left carries float64 keys (as a null-bearing upcast would);
+    # declared schema says int64
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4, 5], dtype=np.float64),
+                         "v": [10, 20, 30, 40, 50]})
+    right = pd.DataFrame({"k": np.array([2, 3, 5], dtype=np.int64),
+                          "w": ["b", "c", "e"]})
+    l_ds, r_ds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    got = (
+        shuffle_join(
+            l_ds, r_ds, on=["k"], n_buckets=8,
+            left_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("w", pa.string())]),
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [2, 3, 5]
+    assert got["w"].tolist() == ["b", "c", "e"]

@@ -149,3 +149,36 @@ def test_read_lake_predicate_pushdown(ray_session, tmp_path):
         import pandas as pd
 
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_read_lake_shape_consistent_across_compaction_state(ray_session, tmp_path):
+    """columns+include_tombstones and columns+predicate must behave
+    identically on compacted and multi-run lakes (review findings:
+    multi-run leaked merge keys; compacted rejected predicates on
+    non-projected columns)."""
+    import pyarrow.dataset as pads
+
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(SPEC, wal, overwrite=True)
+    replay(wal, lake, num_shards=8)
+    segs = sorted(wal.glob("seg-*.parquet"))
+    lake2 = tmp_path / "lake2"
+    for k in (2, len(segs)):
+        replay(wal, lake2, num_shards=8, mode="append", max_segments=k)
+
+    for lk in (lake, lake2):
+        t = read_lake(lk, columns=["text"], include_tombstones=True).to_pandas()
+        assert list(t.columns) == ["text"], lk
+        # predicate on a column that is NOT projected
+        p = read_lake(
+            lk, columns=["text"], predicate=pads.field("turn_idx") >= 5
+        ).to_pandas()
+        assert list(p.columns) == ["text"] and len(p) > 0, lk
+
+    ora = oracle_final_state(wal)
+    n_match = int(
+        (ora["turn_idx"].to_pandas() >= 5).sum()
+    )
+    for lk in (lake, lake2):
+        p = read_lake(lk, columns=["text"], predicate=pads.field("turn_idx") >= 5)
+        assert p.count() == n_match, lk
