@@ -182,3 +182,32 @@ def test_read_lake_shape_consistent_across_compaction_state(ray_session, tmp_pat
     for lk in (lake, lake2):
         p = read_lake(lk, columns=["text"], predicate=pads.field("turn_idx") >= 5)
         assert p.count() == n_match, lk
+
+
+def test_time_travel_property_random_splits(ray_session, tmp_path_factory):
+    """Hypothesis-style sweep without hypothesis overhead: several
+    random segment splits; for each, every commit still within the
+    retention window must reconstruct exactly its prefix oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    wal_root = tmp_path_factory.mktemp("ttprop")
+    spec = WalSpec(n_convs=150, seed=41, dup_rate=0.08, shuffle_window=150,
+                   seg_size=400, schema_change_frac=0.5)
+    write_wal(spec, wal_root / "wal", overwrite=True)
+    segs = sorted((wal_root / "wal").glob("seg-*.parquet"))
+    n = len(segs)
+    assert n >= 4
+    for trial in range(3):
+        lake = wal_root / f"lake{trial}"
+        cuts = sorted(set(rng.choice(np.arange(1, n), size=3, replace=False).tolist() + [n]))
+        retain = len(cuts)  # keep everything readable this trial
+        for k in cuts:
+            replay(wal_root / "wal", lake, num_shards=4, mode="append",
+                   max_segments=int(k), retain_versions=retain)
+        data = [e for e in commit_log(lake) if e["n_segments"]]
+        assert len(data) == len(cuts)
+        for c, k in zip(data, cuts):
+            got = lake_final_table(lake, at_commit=c["commit"])
+            want = _prefix_oracle(wal_root, segs, int(k))
+            assert got.equals(want), (trial, k)
