@@ -1182,6 +1182,82 @@ def read_lake(
     )
 
 
+def lake_diff(
+    lake_dir: str | Path,
+    from_commit: str,
+    to_commit: str,
+) -> ray.data.Dataset:
+    """Row-level changelog between two retained snapshots — the CDC
+    *output* feed: what a downstream consumer must apply to move from
+    ``from_commit``'s state to ``to_commit``'s. Streaming and
+    per-shard distributed (the merge key never crosses shards, so each
+    task diffs one shard's two LWW states independently).
+
+    Emits the ``to``-side row per changed key plus a ``change`` column:
+    ``insert`` (key absent before), ``update`` (newer revision),
+    ``delete`` (newest revision became a tombstone). Un-changed keys
+    emit nothing. Both commits must be within the retention window."""
+    lake_dir = Path(lake_dir)
+    manifests = mf.read_all_manifests(lake_dir)
+    m_from = _snapshot_manifests(lake_dir, manifests, from_commit)
+    m_to = _snapshot_manifests(lake_dir, manifests, to_commit)
+    items = []
+    for sh in sorted(set(m_from) | set(m_to)):
+        items.append(
+            {
+                "from": [str(lake_dir / f["path"]) for f in m_from.get(sh, {}).get("files", [])],
+                "to": [str(lake_dir / f["path"]) for f in m_to.get(sh, {}).get("files", [])],
+            }
+        )
+    out_schema = pa.schema(list(EVENT_SCHEMA) + [pa.field("change", pa.string())])
+    if not items:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def diff_shard(batch) -> pa.Table:
+        from ..state.merge_index import lww_merge_sorted
+
+        def state(files) -> pa.Table:
+            if not files:
+                return EVENT_SCHEMA.empty_table()
+            t = pa.concat_tables(
+                [pq.read_table(f) for f in files], promote_options="permissive"
+            )
+            return conform(lww_merge_sorted(t), EVENT_SCHEMA)
+
+        out = []
+        for frm, to in zip(batch["from"], batch["to"]):
+            a = state(list(frm)).to_pandas()
+            b = state(list(to)).to_pandas()
+            key = ["conv_id", "turn_idx"]
+            m = b.merge(
+                a[key + ["ts", "op_seq", "op"]],
+                on=key,
+                how="left",
+                suffixes=("", "_old"),
+            )
+            absent = m["op_old"].isna()
+            same = (~absent) & (m["ts"] == m["ts_old"]) & (m["op_seq"] == m["op_seq_old"])
+            changed = m[~same].copy()
+            is_del = changed["op"] == "D"
+            was_del = changed["op_old"] == "D"
+            changed["change"] = np.where(
+                is_del,
+                "delete",
+                np.where(changed["op_old"].isna() | was_del, "insert", "update"),
+            )
+            # a tombstone that was already a tombstone is not a change
+            changed = changed[~(is_del & was_del)]
+            cols = [f.name for f in EVENT_SCHEMA] + ["change"]
+            out.append(
+                pa.Table.from_pandas(changed[cols], preserve_index=False).cast(out_schema)
+            )
+        return pa.concat_tables(out, promote_options="permissive")
+
+    return ray.data.from_items(items).map_batches(
+        diff_shard, batch_format="pandas", batch_size=1
+    )
+
+
 def lake_final_table(lake_dir: str | Path, at_commit: str | None = None) -> pa.Table:
     """Driver-side materialization for tests/small scales only."""
     if at_commit is None:

@@ -211,3 +211,37 @@ def test_time_travel_property_random_splits(ray_session, tmp_path_factory):
             got = lake_final_table(lake, at_commit=c["commit"])
             want = _prefix_oracle(wal_root, segs, int(k))
             assert got.equals(want), (trial, k)
+
+
+def test_lake_diff_changelog(ray_session, tmp_path):
+    """Applying lake_diff(c1, c2) to the c1 snapshot must reproduce the
+    c2 snapshot exactly — the CDC-output contract."""
+    import pandas as pd
+
+    from etl_geodata_pipeline_ray.cdc.replay import lake_diff
+
+    wal, lake, segs = _incremental(tmp_path, "append", retain=3)
+    data = [e for e in commit_log(lake) if e["n_segments"]]
+    c1, c2 = data[0]["commit"], data[2]["commit"]
+
+    diff = lake_diff(lake, c1, c2).to_pandas()
+    assert set(diff["change"]) <= {"insert", "update", "delete"}
+    assert len(diff) > 0
+
+    key = ["conv_id", "turn_idx"]
+    base = lake_final_table(lake, at_commit=c1).to_pandas()
+    # apply: remove every changed key, then add back the live to-rows
+    changed_keys = diff[key].drop_duplicates()
+    applied = base.merge(changed_keys, on=key, how="left", indicator=True)
+    applied = applied[applied["_merge"] == "left_only"].drop(columns=["_merge"])
+    live = diff[diff["change"] != "delete"][applied.columns.tolist()]
+    applied = (
+        pd.concat([applied, live])
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = lake_final_table(lake, at_commit=c2).to_pandas()
+    pd.testing.assert_frame_equal(applied, want)
+
+    # self-diff is empty
+    assert lake_diff(lake, c2, c2).count() == 0
