@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("lake")
     pe.add_argument("--keep", type=int, default=1)
 
+    pdf = sub.add_parser("diff", help="changelog between two retained commits")
+    pdf.add_argument("lake"), pdf.add_argument("from_commit"), pdf.add_argument("to_commit")
+    pdf.add_argument("--limit", type=int, default=20)
+
     pt = sub.add_parser("tail", help="continuously ingest a growing WAL")
     pt.add_argument("wal"), pt.add_argument("lake")
     pt.add_argument("--num-shards", type=int, default=32)
@@ -130,6 +134,12 @@ def main(argv: list[str] | None = None) -> int:
             from .cdc.replay import expire_snapshots
 
             print(json.dumps(expire_snapshots(a.lake, keep=a.keep)))
+        elif a.cmd == "diff":
+            from .cdc.replay import lake_diff
+
+            df = lake_diff(a.lake, a.from_commit, a.to_commit).to_pandas()
+            print(df.head(a.limit).to_string())
+            print(f"[{len(df)} rows]")
         elif a.cmd == "tail":
             from .cdc.tail import tail
 
