@@ -1202,16 +1202,24 @@ def lake_diff(
     m_from = _snapshot_manifests(lake_dir, manifests, from_commit)
     m_to = _snapshot_manifests(lake_dir, manifests, to_commit)
     items = []
+    max_bytes = 0
     for sh in sorted(set(m_from) | set(m_to)):
+        a, b = m_from.get(sh, {}).get("files", []), m_to.get(sh, {}).get("files", [])
+        if [f["path"] for f in a] == [f["path"] for f in b]:
+            continue  # untouched shard: identical files, no diff to compute
+        max_bytes = max(
+            max_bytes, sum(int(f["bytes"]) for f in a) + sum(int(f["bytes"]) for f in b)
+        )
         items.append(
             {
-                "from": [str(lake_dir / f["path"]) for f in m_from.get(sh, {}).get("files", [])],
-                "to": [str(lake_dir / f["path"]) for f in m_to.get(sh, {}).get("files", [])],
+                "from": [str(lake_dir / f["path"]) for f in a],
+                "to": [str(lake_dir / f["path"]) for f in b],
             }
         )
     out_schema = pa.schema(list(EVENT_SCHEMA) + [pa.field("change", pa.string())])
     if not items:
         return ray.data.from_arrow(out_schema.empty_table())
+    mem = _merge_mem_bytes(0, max_bytes, 1, 0)
 
     def diff_shard(batch) -> pa.Table:
         from ..state.merge_index import lww_merge_sorted
@@ -1254,7 +1262,7 @@ def lake_diff(
         return pa.concat_tables(out, promote_options="permissive")
 
     return ray.data.from_items(items).map_batches(
-        diff_shard, batch_format="pandas", batch_size=1
+        diff_shard, batch_format="pandas", batch_size=1, memory=mem
     )
 
 
