@@ -1247,14 +1247,13 @@ def lake_diff(
             same = (~absent) & (m["ts"] == m["ts_old"]) & (m["op_seq"] == m["op_seq_old"])
             changed = m[~same].copy()
             is_del = changed["op"] == "D"
-            was_del = changed["op_old"] == "D"
+            dead_before = changed["op_old"].isna() | (changed["op_old"] == "D")
             changed["change"] = np.where(
-                is_del,
-                "delete",
-                np.where(changed["op_old"].isna() | was_del, "insert", "update"),
+                is_del, "delete", np.where(dead_before, "insert", "update")
             )
-            # a tombstone that was already a tombstone is not a change
-            changed = changed[~(is_del & was_del)]
+            # a tombstone over a key that was absent or already dead is
+            # a no-op for the consumer — emit nothing
+            changed = changed[~(is_del & dead_before)]
             cols = [f.name for f in EVENT_SCHEMA] + ["change"]
             out.append(
                 pa.Table.from_pandas(changed[cols], preserve_index=False).cast(out_schema)

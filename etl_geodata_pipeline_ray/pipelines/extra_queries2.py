@@ -772,3 +772,95 @@ ORDER BY op_seq
 """
 
 EXTRA_QUERIES2["q59_dlq_quarantine"] = (q59_dlq_quarantine, Q59_SQL)
+
+
+# ---------------------------------------------------------------- q60
+def q60_lake_diff(sf_dir: str) -> pd.DataFrame:
+    """Changelog emission through the REAL engine, driver-oracle-
+    checked: the q52 events-derived WAL is replayed as TWO commits
+    (the pre-schema-change segments, then the rest; retain_versions=2)
+    and `lake_diff(c1, c2)` emits the insert/update/delete feed a
+    consumer applies to advance from state 1 to state 2. The oracle
+    recomputes both LWW states with window functions and classifies
+    the changed keys with the same tombstone rules."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..cdc.replay import commit_log, lake_diff, replay
+    from ..cdc.schema import EVENT_SCHEMA
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    ids = ev["event_id"].to_numpy()
+    split = int(ids.max()) // 2
+    role = ev["event_type"].to_numpy(zero_copy_only=False)
+    env = pa.table(
+        {
+            "op": pa.array(np.where(role == "error", "D", "U")),
+            "op_seq": pa.array(ids, type=pa.int64()),
+            "ts": ev["ts"].cast(pa.timestamp("us")),
+            "conv_id": pc.cast(ev["user_id"], pa.string()),
+            "turn_idx": pa.array((ids % 25).astype(np.int32)),
+            "role": pa.array(role),
+            "text": ev["props"].cast(pa.large_string()),
+            "tool": pa.array(np.where(ids >= split, role, None)),
+        },
+        schema=EVENT_SCHEMA,
+    )
+    root = Path("/tmp/graft_q60") / f"{Path(sf_dir).name}-pid{os.getpid()}"
+    wal, lake = root / "wal", root / "lake"
+    shutil.rmtree(root, ignore_errors=True)
+    wal.mkdir(parents=True)
+    n = env.num_rows
+    seg_rows = max(500, (n + 7) // 8)
+    cut = int(np.searchsorted(ids, split))  # v0/v1 schema + commit boundary
+    bounds = sorted({0, cut, n} | set(range(0, n, seg_rows)))
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        seg = env.slice(lo, hi - lo)
+        if int(ids[lo]) < split:
+            seg = seg.drop_columns(["tool"])
+        pq.write_table(seg, wal / f"seg-{lo:012d}.parquet", row_group_size=4096)
+    # commit 1 = exactly the segments below the id midpoint (op_seq <
+    # max(id)//2 — the cutoff the SQL oracle can express)
+    m = sum(1 for b in bounds[:-1] if b < cut)
+    replay(wal, lake, num_shards=16, mode="append", max_segments=m, retain_versions=2)
+    replay(wal, lake, num_shards=16, mode="append")
+    c1, c2 = [e["commit"] for e in commit_log(lake) if e["n_segments"]]
+    out = lake_diff(lake, c1, c2).to_pandas()
+    return out.sort_values("op_seq").reset_index(drop=True)
+
+
+Q60_SQL = """
+WITH env AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS op_seq, ts, CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text,
+         CASE WHEN event_id >= (SELECT max(event_id) // 2 FROM events)
+              THEN event_type END AS tool
+  FROM events),
+s1 AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                              ORDER BY ts DESC, op_seq DESC) AS rn
+                 FROM env
+                 WHERE op_seq < (SELECT max(event_id) // 2 FROM events))
+  WHERE rn = 1),
+s2 AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                              ORDER BY ts DESC, op_seq DESC) AS rn
+                 FROM env)
+  WHERE rn = 1)
+SELECT s2.op, s2.op_seq, s2.ts, s2.conv_id, s2.turn_idx, s2.role,
+       s2.text, s2.tool,
+       CASE WHEN s2.op = 'D' THEN 'delete'
+            WHEN s1.op_seq IS NULL OR s1.op = 'D' THEN 'insert'
+            ELSE 'update' END AS change
+FROM s2 LEFT JOIN s1 ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+WHERE (s1.op_seq IS NULL OR s2.ts <> s1.ts OR s2.op_seq <> s1.op_seq)
+  AND NOT (s2.op = 'D' AND s1.op = 'D')
+ORDER BY s2.op_seq
+"""
+
+EXTRA_QUERIES2["q60_lake_diff"] = (q60_lake_diff, Q60_SQL)
