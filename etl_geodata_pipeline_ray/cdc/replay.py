@@ -794,26 +794,39 @@ def _append_commit_log(lake_dir: Path, commit_id: str, segments: list[str]) -> N
         "first_segment": min(segments) if segments else None,
         "last_segment": max(segments) if segments else None,
     }
-    with open(p, "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    with open(p, "ab") as f:
+        lead = b""
+        if f.tell():
+            # a torn previous append (crash mid-write, no trailing
+            # newline) must not swallow THIS record into its line:
+            # seal it with a newline first, leaving the torn fragment
+            # as its own invalid line for the reader to skip
+            with open(p, "rb") as r:
+                r.seek(-1, 2)
+                if r.read(1) != b"\n":
+                    lead = b"\n"
+        f.write(lead + json.dumps(rec).encode() + b"\n")
         f.flush()
         os.fsync(f.fileno())
 
 
 def commit_log(lake_dir: str | Path) -> list[dict]:
     """The ordered commit log (oldest first); [] for a fresh lake. A
-    torn final line (crash mid-append) is skipped — its commit never
-    reached the manifests either, so it does not exist."""
+    torn line (crash mid-append) is skipped — its commit never reached
+    the manifests either, so it does not exist; later appends seal the
+    fragment onto its own line, so records after it stay readable."""
     p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.jsonl"
     if not p.exists():
         return []
     out = []
     with open(p) as f:
         for line in f:
+            if not line.strip():
+                continue
             try:
                 out.append(json.loads(line))
             except ValueError:
-                break  # torn tail: everything after is unreadable
+                continue  # torn fragment: skip, keep reading
     return out
 
 
