@@ -1195,6 +1195,47 @@ def read_lake(
     )
 
 
+def read_conversation(
+    lake_dir: str | Path,
+    conv_id: str,
+    at_commit: str | None = None,
+) -> pa.Table:
+    """Point lookup: hash-route ``conv_id`` to its single owning shard
+    and read ONLY that shard's files (row-group pruned by a conv_id
+    filter — shard files are sorted by (conv_id, turn_idx), so parquet
+    min/max statistics skip non-matching row groups), then LWW-merge
+    and drop tombstones. At 10^10-row scale this touches one shard's
+    files, never the lake. Returns the conversation's turns in
+    turn_idx order (empty table if unknown)."""
+    lake_dir = Path(lake_dir)
+    manifests = mf.read_all_manifests(lake_dir)
+    if at_commit is not None:
+        manifests = _snapshot_manifests(lake_dir, manifests, at_commit)
+    if not manifests:
+        return TRANSCRIPT_SCHEMA.empty_table()
+    with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
+        num_shards = json.load(f)["num_shards"]
+    sh = int(shard_of(hash_u64(np.array([conv_id], dtype=object)), num_shards)[0])
+    m = manifests.get(sh)
+    if m is None or not m["files"]:
+        return TRANSCRIPT_SCHEMA.empty_table()
+    from ..state.merge_index import lww_merge_sorted
+
+    tabs = []
+    for frec in m["files"]:
+        t = pq.read_table(
+            lake_dir / frec["path"], filters=[("conv_id", "==", conv_id)]
+        )
+        if t.num_rows:
+            tabs.append(t)
+    if not tabs:
+        return TRANSCRIPT_SCHEMA.empty_table()
+    t = lww_merge_sorted(pa.concat_tables(tabs, promote_options="permissive"))
+    t = t.filter(pc.not_equal(t["op"], pa.scalar("D")))
+    t = conform(t, TRANSCRIPT_SCHEMA)
+    return t.take(pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")]))
+
+
 def lake_diff(
     lake_dir: str | Path,
     from_commit: str,

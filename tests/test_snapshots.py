@@ -245,3 +245,29 @@ def test_lake_diff_changelog(ray_session, tmp_path):
 
     # self-diff is empty
     assert lake_diff(lake, c2, c2).count() == 0
+
+
+def test_read_conversation_point_lookup(ray_session, tmp_path):
+    """Hash-routed single-shard point read equals the oracle's slice,
+    on both compacted and multi-run lakes, and respects at_commit."""
+    from etl_geodata_pipeline_ray.cdc.replay import read_conversation
+
+    wal, lake, segs = _incremental(tmp_path, "append", retain=3)
+    ora = oracle_final_state(wal).to_pandas()
+    some = ora["conv_id"].unique()[:5]
+    for cid in some:
+        got = read_conversation(lake, cid).to_pandas().reset_index(drop=True)
+        want = ora[ora["conv_id"] == cid].reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want)
+    assert read_conversation(lake, "no_such_conv").num_rows == 0
+    # at_commit slice
+    data = [e for e in commit_log(lake) if e["n_segments"]]
+    c1 = data[0]["commit"]
+    pre = _prefix_oracle(tmp_path, segs, 2).to_pandas()
+    cid = pre["conv_id"].iloc[0]
+    got = read_conversation(lake, cid, at_commit=c1).to_pandas().reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, pre[pre["conv_id"] == cid].reset_index(drop=True))
