@@ -2,8 +2,10 @@
 up): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
 
 Scale shapes:
-  * exact      — content-hash in ``map_batches`` → hash-partitioned
-                 groupby keep-first (the reference's D1 set-dedup shape,
+  * exact      — dual 64-bit content-hash in ``map_batches``, shuffle
+                 ONLY (hash, hash2, id) triples through one bucketed
+                 keep-min election, semi-join winners back (the
+                 reference's D1 set-dedup shape,
                  ``utils/h3_helpers.py:64-75``).
   * MinHash    — per-batch vectorized shingle→signature (Broder 1997),
                  explode to (band, band_hash, doc_id) rows, one
@@ -38,24 +40,75 @@ def _hash_texts(texts: pd.Series) -> np.ndarray:
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
 ) -> ray.data.Dataset:
-    """Keep the min-id row per byte-identical ``text_col``. The shuffle
-    moves only (hash, id) after a vectorized content-hash pass; ties on
-    hash are resolved by comparing the texts inside the group."""
+    """Keep the min-id row per byte-identical ``text_col`` (D1; the
+    reference's set-dedup shape, ``utils/h3_helpers.py:64-75``).
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_h"] = _hash_texts(batch[text_col]).astype(np.int64)
-        return batch
+    Scale shape (100-TB posture):
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([text_col, id_col], kind="stable")
-        return g[~g[text_col].duplicated()].drop(columns=["_h"])
+    1. **hash pass** — two independent vectorized 64-bit content hashes
+       per row (128 bits total: distinct texts colliding on both keys
+       need ~2^64 documents, far beyond any corpus), projected down to
+       ``(_h, _h2, id)`` so the wide text column never leaves the scan;
+    2. **winner election** — a within-batch keep-min combiner shrinks
+       the exchange to distinct-texts-per-batch, then ONE bucketed
+       shuffle of the 24-byte triples with a single C-level
+       ``duplicated`` kernel per bucket (``bucketed_apply`` — never one
+       pandas call per distinct hash);
+    3. **semi-join** the winning ids back to the full corpus via
+       ``planned_semi_anti_join`` (broadcast when the winner set is
+       known-small, distributed shuffle-semi otherwise).
+    """
+    _HK2 = "graftdedup-hash1"
 
-    return (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("_h")
-        .map_groups(keep_first, batch_format="pandas")
+    def hash_project(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].to_numpy(dtype=object)
+        out = pd.DataFrame(
+            {
+                "_h": pd.util.hash_array(texts, hash_key=_HASH_KEY).astype(np.int64),
+                "_h2": pd.util.hash_array(texts, hash_key=_HK2).astype(np.int64),
+                id_col: batch[id_col].to_numpy(),
+            }
+        )
+        # combiner: keep the min id per (h, h2) WITHIN the batch so the
+        # shuffle carries at most one triple per distinct batch text
+        out = out.sort_values(["_h", "_h2", id_col], kind="stable")
+        return out[~out.duplicated(["_h", "_h2"])]
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", "_h2", id_col], kind="stable")
+        return g[~g.duplicated(["_h", "_h2"])][[id_col]]
+
+    from .bucketed import bucketed_apply
+    from .relational import planned_semi_anti_join
+
+    # canonicalize to Arrow blocks so the schema probe yields pyarrow
+    # types (from_pandas-backed datasets report numpy dtypes)
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    slim = ds.map_batches(hash_project, batch_format="pandas")
+    winners = bucketed_apply(slim, ["_h"], elect, n_buckets=n_buckets)
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        left_schema = base
+    else:
+        left_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+        )
+    right_schema = pa.schema([left_schema.field(id_col)])
+    return planned_semi_anti_join(
+        ds,
+        winners,
+        id_col,
+        id_col,
+        n_buckets=n_buckets,
+        left_schema=left_schema,
+        right_schema=right_schema,
     )
 
 

@@ -43,6 +43,38 @@ def test_exact_dedup_keeps_min_id(docs_ds):
     assert len(kept) == 201
 
 
+def test_exact_dedup_many_distinct_texts(ray_session):
+    """Scale-shape guard (round-3 verdict #1): 10^5 DISTINCT texts must
+    not trigger one pandas kernel per distinct content hash. The old
+    ``groupby("_h").map_groups`` shape took minutes here; the bucketed
+    election finishes in seconds. Bound is generous for VM noise but
+    far below the per-group pathology."""
+    import time
+
+    import ray.data
+
+    n = 100_000
+    ids = np.arange(n, dtype=np.int64)
+    texts = np.array([f"unique document body {i} {i * 7}" for i in range(n)], dtype=object)
+    # 1000 planted dupes of the first 1000 texts, with higher ids
+    dup_ids = np.arange(n, n + 1000, dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.concatenate([ids, dup_ids]),
+            "text": np.concatenate([texts, texts[:1000]]),
+        }
+    )
+    from etl_geodata_pipeline_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.from_pandas(df).repartition(8)
+    t0 = time.monotonic()
+    kept = exact_dedup(ds).to_pandas()
+    wall = time.monotonic() - t0
+    assert len(kept) == n
+    assert kept["doc_id"].max() == n - 1  # every dupe lost to its min id
+    assert wall < 90, f"exact_dedup per-group pathology is back: {wall:.1f}s"
+
+
 def test_minhash_finds_planted_near_dupes(docs_ds):
     import ray.data
 
