@@ -1236,6 +1236,79 @@ def read_conversation(
     return t.take(pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")]))
 
 
+_DIFF_SLIM_COLS = ["conv_id", "turn_idx", "ts", "op_seq", "op"]
+
+
+def _flat(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(col, pa.Array):
+        return col
+    ca = col.combine_chunks()
+    if isinstance(ca, pa.Array):
+        return ca
+    return ca.chunk(0) if ca.num_chunks else pa.array([], type=col.type)
+
+
+def _diff_states(a: pa.Table, b: pa.Table, out_schema: pa.Schema) -> pa.Table:
+    """Changed-key detection between two per-shard LWW states, pure
+    Arrow/numpy (round-3 verdict #2: the old pandas left-merge copied
+    every wide ``text`` column of BOTH snapshots just to compare
+    keys+stamps). ``a`` carries only ``_DIFF_SLIM_COLS``; ``b`` is the
+    full ``to`` state, conformed to EVENT_SCHEMA. The payload is
+    touched exactly once, by the final ``filter`` on the emit mask —
+    and ``op_seq`` compares int64-to-int64 (never the float64 upcast a
+    pandas left merge introduces, which goes imprecise above 2^53)."""
+    n_a, n_b = a.num_rows, b.num_rows
+    if n_b == 0:
+        return out_schema.empty_table()
+    # composite int64 key: dictionary-encode conv_id across BOTH sides
+    # (shared dictionary -> comparable codes), then code<<32 | turn_idx
+    conv = pa.concat_arrays(
+        [
+            _flat(a["conv_id"]).cast(pa.string()),
+            _flat(b["conv_id"]).cast(pa.string()),
+        ]
+    )
+    codes = conv.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn_a = _flat(a["turn_idx"]).to_numpy(zero_copy_only=False).astype(np.int64)
+    turn_b = _flat(b["turn_idx"]).to_numpy(zero_copy_only=False).astype(np.int64)
+    key_a = (codes[:n_a] << 32) | turn_a
+    key_b = (codes[n_a:] << 32) | turn_b
+    is_del_b = pc.equal(b["op"], pa.scalar("D")).combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    if n_a == 0:
+        found = np.zeros(n_b, dtype=bool)
+        same = found
+        dead_before = np.ones(n_b, dtype=bool)
+    else:
+        ord_a = np.argsort(key_a, kind="stable")
+        sa = key_a[ord_a]
+        pos = np.searchsorted(sa, key_b)
+        safe = np.clip(pos, 0, n_a - 1)
+        found = (pos < n_a) & (sa[safe] == key_b)
+        ai = ord_a[safe]  # index into a for found rows (garbage elsewhere)
+        ts_a = _flat(a["ts"]).to_numpy(zero_copy_only=False)
+        ts_b = _flat(b["ts"]).to_numpy(zero_copy_only=False)
+        seq_a = _flat(a["op_seq"]).to_numpy(zero_copy_only=False)
+        seq_b = _flat(b["op_seq"]).to_numpy(zero_copy_only=False)
+        dead_a = pc.equal(a["op"], pa.scalar("D")).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        same = found & (ts_a[ai] == ts_b) & (seq_a[ai] == seq_b)
+        dead_before = np.where(found, dead_a[ai], True)
+    # a tombstone over a key that was absent or already dead is a no-op
+    # for the consumer — emit nothing
+    emit = ~same & ~(is_del_b & dead_before)
+    out = b.filter(pa.array(emit))
+    change = np.where(
+        is_del_b[emit], "delete", np.where(dead_before[emit], "insert", "update")
+    )
+    out = out.append_column(
+        out_schema.field("change"), pa.array(change, type=pa.string())
+    )
+    return out.cast(out_schema)
+
+
 def lake_diff(
     lake_dir: str | Path,
     from_commit: str,
@@ -1278,40 +1351,28 @@ def lake_diff(
     def diff_shard(batch) -> pa.Table:
         from ..state.merge_index import lww_merge_sorted
 
-        def state(files) -> pa.Table:
-            if not files:
-                return EVENT_SCHEMA.empty_table()
-            t = pa.concat_tables(
-                [pq.read_table(f) for f in files], promote_options="permissive"
+        def state(files, columns=None) -> pa.Table:
+            target = (
+                EVENT_SCHEMA
+                if columns is None
+                else pa.schema([EVENT_SCHEMA.field(c) for c in columns])
             )
-            return conform(lww_merge_sorted(t), EVENT_SCHEMA)
+            if not files:
+                return target.empty_table()
+            t = pa.concat_tables(
+                [pq.read_table(f, columns=columns) for f in files],
+                promote_options="permissive",
+            )
+            return conform(lww_merge_sorted(t), target)
 
         out = []
         for frm, to in zip(batch["from"], batch["to"]):
-            a = state(list(frm)).to_pandas()
-            b = state(list(to)).to_pandas()
-            key = ["conv_id", "turn_idx"]
-            m = b.merge(
-                a[key + ["ts", "op_seq", "op"]],
-                on=key,
-                how="left",
-                suffixes=("", "_old"),
-            )
-            absent = m["op_old"].isna()
-            same = (~absent) & (m["ts"] == m["ts_old"]) & (m["op_seq"] == m["op_seq_old"])
-            changed = m[~same].copy()
-            is_del = changed["op"] == "D"
-            dead_before = changed["op_old"].isna() | (changed["op_old"] == "D")
-            changed["change"] = np.where(
-                is_del, "delete", np.where(dead_before, "insert", "update")
-            )
-            # a tombstone over a key that was absent or already dead is
-            # a no-op for the consumer — emit nothing
-            changed = changed[~(is_del & dead_before)]
-            cols = [f.name for f in EVENT_SCHEMA] + ["change"]
-            out.append(
-                pa.Table.from_pandas(changed[cols], preserve_index=False).cast(out_schema)
-            )
+            # the ``from`` side never needs the payload: read only the
+            # key/stamp/op columns (row-group pruning at the scan), so
+            # the wide ``text`` of the old snapshot never leaves parquet
+            a = state(list(frm), columns=_DIFF_SLIM_COLS)
+            b = state(list(to))
+            out.append(_diff_states(a, b, out_schema))
         return pa.concat_tables(out, promote_options="permissive")
 
     return ray.data.from_items(items).map_batches(
