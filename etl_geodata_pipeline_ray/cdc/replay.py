@@ -63,7 +63,7 @@ import ray.data
 
 from ..state.merge_index import ShardMerger, _HASH_KEY
 from . import manifest as mf
-from .schema import EVENT_SCHEMA, TRANSCRIPT_SCHEMA, conform, unify
+from .schema import EVENT_SCHEMA, MERGE_KEY, TRANSCRIPT_SCHEMA, conform, unify
 
 _VALID_OPS = ("I", "U", "D")
 _INCOMING = "_incoming"
@@ -1075,6 +1075,47 @@ def lake_stats(lake_dir: str | Path) -> dict:
     }
 
 
+def _predicate_fields(predicate, schema: pa.Schema) -> set[str]:
+    """Columns of ``schema`` referenced by a ``pyarrow.dataset``
+    expression. pyarrow exposes no public field introspection on
+    ``Expression``, so probe: filter an empty table with one column
+    removed at a time — a raise means the removed column is
+    referenced. O(n_columns) empty-table filters, driver-side only."""
+    refs = set()
+    for name in schema.names:
+        sub = pa.schema([f for f in schema if f.name != name]).empty_table()
+        try:
+            sub.filter(predicate)
+        except Exception:
+            refs.add(name)
+    return refs
+
+
+def _plan_predicate(predicate, columns: list[str] | None):
+    """Predicate plan for the multi-run (LSM) read path.
+
+    Returns ``(scan_filter, post_filter, extra_cols)``:
+
+    * a predicate referencing ONLY merge-key columns is LWW-safe to
+      push pre-merge (every revision of a key carries the key, so
+      filtering revisions == filtering merged rows) — it becomes the
+      per-file scan filter and row-group-prunes exactly like
+      ``read_conversation``; no post-merge filter needed;
+    * any payload-referencing predicate must run AFTER the per-shard
+      LWW merge (a matching stale revision may be superseded by a
+      non-matching newer one); its referenced columns are added to the
+      projection so a predicate on a non-projected column works the
+      same as on a compacted lake (they are dropped again by the
+      output projection).
+    """
+    if predicate is None:
+        return None, None, set()
+    refs = _predicate_fields(predicate, EVENT_SCHEMA)
+    if refs and refs <= set(MERGE_KEY):
+        return predicate, None, set()
+    return None, predicate, refs
+
+
 def read_lake(
     lake_dir: str | Path,
     columns: list[str] | None = None,
@@ -1087,14 +1128,18 @@ def read_lake(
     state as of that commit id (``commit_log``), as long as it is
     within the lake's ``retain_versions`` window. ``predicate`` (a
     ``pyarrow.dataset`` expression) is pushed to the SCAN on compacted
-    lakes (row-group pruning); on multi-run LSM lakes it is applied
-    AFTER the per-shard LWW merge — pre-merge filtering would be
-    wrong, since a matching stale revision may be superseded by a
-    non-matching newer one. With ``columns``, the predicate may
-    reference any event column, except when ``tool`` (the late-added
-    column) is requested on a compacted lake — there the declared
-    subset schema limits predicates to the projected columns; on the
-    multi-run path merge keys are always referenceable."""
+    lakes (row-group pruning). On multi-run LSM lakes the plan splits
+    (``_plan_predicate``): a predicate referencing ONLY merge-key
+    columns is LWW-safe pre-merge and pushes to every run file's scan
+    (row-group pruning, payload never decodes); any other predicate is
+    applied AFTER the per-shard LWW merge — pre-merge payload
+    filtering would be wrong, since a matching stale revision may be
+    superseded by a non-matching newer one — with its referenced
+    columns auto-added to the projection, so predicates on
+    non-projected columns behave identically on both lake layouts.
+    Remaining asymmetry (documented): when ``tool`` (the late-added
+    column) is requested on a compacted lake, the declared subset
+    schema limits predicates to the projected columns."""
     manifests = mf.read_all_manifests(lake_dir)
     if at_commit is not None:
         manifests = _snapshot_manifests(Path(lake_dir), manifests, at_commit)
@@ -1159,8 +1204,11 @@ def read_lake(
         sum(int(f["bytes"]) for f in m["files"]) for m in manifests.values()
     )
     mem = _merge_mem_bytes(0, max_shard_bytes, 1, 0)
+    scan_filter, post_filter, pred_cols = _plan_predicate(predicate, columns)
     need_mr = (
-        sorted(set(columns) | {"conv_id", "turn_idx", "ts", "op_seq", "op"})
+        sorted(
+            set(columns) | {"conv_id", "turn_idx", "ts", "op_seq", "op"} | pred_cols
+        )
         if columns
         else None
     )
@@ -1176,11 +1224,14 @@ def read_lake(
                 if cols is not None:
                     present = set(pq.read_schema(f).names)
                     cols = [c for c in need_mr if c in present]
-                tabs.append(pq.read_table(f, columns=cols))
+                # merge-key-only predicates push to the scan: parquet
+                # row-group stats on the key-sorted run files prune
+                # before any byte of payload decodes
+                tabs.append(pq.read_table(f, columns=cols, filters=scan_filter))
             t = pa.concat_tables(tabs, promote_options="permissive")
             t = lww_merge_sorted(t)
-            if predicate is not None:
-                t = t.filter(predicate)
+            if post_filter is not None:
+                t = t.filter(post_filter)
             if not include_tombstones:
                 t = finalize(t)
             elif columns:

@@ -352,3 +352,67 @@ def test_diff_states_arrow_native():
     # strings (tracemalloc-visible); the Arrow path stays in the pool
     # and only numpy key/stamp arrays hit the Python heap
     assert peak < 40 * 1024 * 1024, f"diff kernel copied the payload: peak={peak/1e6:.0f}MB"
+
+
+def test_merge_key_predicate_pushes_to_lsm_scan(ray_session, tmp_path):
+    """Round-3 verdict #3: merge-key predicates are LWW-safe pre-merge
+    and must push to the per-run-file scan on an uncompacted lake.
+    Checks (a) the plan routes key-only predicates to the scan and
+    payload predicates post-merge, (b) pushdown result == post-merge
+    result == compacted result, (c) row-group stats on the key-sorted
+    run files actually prune for the pushed predicate."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from etl_geodata_pipeline_ray.cdc.replay import _plan_predicate, lake_files
+
+    # (a) plan routing
+    kp = (pads.field("conv_id") == "c1") & (pads.field("turn_idx") >= 2)
+    scan, post, extra = _plan_predicate(kp, ["text"])
+    assert scan is not None and post is None and extra == set()
+    pp = pads.field("role") == "user"
+    scan, post, extra = _plan_predicate(pp, ["text"])
+    assert scan is None and post is not None and extra == {"role"}
+    assert _plan_predicate(None, None) == (None, None, set())
+
+    # multi-run lake: two append replays, never compacted
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(SPEC, wal, overwrite=True)
+    segs = sorted(wal.glob("seg-*.parquet"))
+    for k in (2, len(segs)):
+        replay(wal, lake, num_shards=8, mode="append", max_segments=k)
+
+    ora = oracle_final_state(wal).to_pandas()
+    cid = ora["conv_id"].iloc[0]
+    kp = pads.field("conv_id") == cid
+    want = ora[ora["conv_id"] == cid].sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+
+    # (b) pushed result equals the oracle slice (and hence the
+    # post-merge semantics the compacted branch implements)
+    got = (
+        read_lake(lake, predicate=kp)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # non-projected payload predicate on the SAME multi-run lake used
+    # to raise at execution time (ADVICE): now projected-in and dropped
+    got2 = read_lake(lake, columns=["conv_id", "text"], predicate=pp).to_pandas()
+    want2 = ora[ora["role"] == "user"][["conv_id", "text"]]
+    assert sorted(got2.columns) == ["conv_id", "text"]
+    assert len(got2) == len(want2)
+
+    # (c) pruning evidence: with the single-conv predicate, whole run
+    # files (hash-routed shards) and row groups are prunable by stats
+    files = lake_files(lake)
+    assert len(files) > 8  # genuinely multi-run
+    total_rg = matched_rg = 0
+    for f in files:
+        frag = next(iter(pads.dataset(f).get_fragments()))
+        total_rg += pq.ParquetFile(f).metadata.num_row_groups
+        matched_rg += len(list(frag.split_by_row_group(filter=kp)))
+    assert matched_rg < total_rg, (matched_rg, total_rg)
