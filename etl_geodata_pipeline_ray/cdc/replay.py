@@ -814,7 +814,16 @@ def commit_log(lake_dir: str | Path) -> list[dict]:
     """The ordered commit log (oldest first); [] for a fresh lake. A
     torn line (crash mid-append) is skipped — its commit never reached
     the manifests either, so it does not exist; later appends seal the
-    fragment onto its own line, so records after it stay readable."""
+    fragment onto its own line, so records after it stay readable.
+
+    Phantom demotion (ADVICE r3): a record that reached the log but
+    whose writer crashed before any shard manifest landed claims
+    segments that the resumed replay re-committed under a later id.
+    Real commits consume disjoint, monotonically increasing segment
+    ranges, so any record whose range reaches into a LATER record's
+    range is such a phantom — it is reported as the empty commit it
+    effectively is (``n_segments`` 0, ``phantom`` True), never with
+    segment metadata that lies to log consumers."""
     p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.jsonl"
     if not p.exists():
         return []
@@ -827,6 +836,26 @@ def commit_log(lake_dir: str | Path) -> list[dict]:
                 out.append(json.loads(line))
             except ValueError:
                 continue  # torn fragment: skip, keep reading
+    earliest_later_first = None
+    for rec in reversed(out):
+        if not rec.get("n_segments"):
+            continue
+        first, last = rec.get("first_segment"), rec.get("last_segment")
+        if (
+            earliest_later_first is not None
+            and last is not None
+            and last >= earliest_later_first
+        ):
+            rec.update(
+                n_segments=0, first_segment=None, last_segment=None, phantom=True
+            )
+            continue
+        if first is not None:
+            earliest_later_first = (
+                first
+                if earliest_later_first is None
+                else min(earliest_later_first, first)
+            )
     return out
 
 

@@ -499,6 +499,17 @@ def q19_table_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            # an empty block's min/max would be None and poison the fold
+            return pd.DataFrame(
+                {
+                    "n_rows": pd.Series([], dtype="int64"),
+                    "first_ship": pd.Series([], dtype="datetime64[us]"),
+                    "last_ship": pd.Series([], dtype="datetime64[us]"),
+                    "total_price": pd.Series([], dtype="float64"),
+                    "supp": pd.Series([], dtype=object),
+                }
+            )
         supp = np.unique(t["l_suppkey"].to_numpy(zero_copy_only=False))
         return pd.DataFrame(
             {

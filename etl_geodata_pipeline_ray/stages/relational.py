@@ -14,6 +14,8 @@ joins / numpy); no Python row loops.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -25,7 +27,21 @@ import ray.data
 # per-worker cache of prepared broadcast lookup structures, so the
 # build cost is paid once per worker process, not once per batch
 # (Acero's table.join rebuilds the hash table on every call).
-_BCAST_CACHE: dict = {}
+# LRU-bounded: a long-lived worker serving many distinct broadcast
+# joins must not accumulate every dimension table it ever probed.
+_BCAST_CACHE_MAX = 8
+_BCAST_CACHE: OrderedDict = OrderedDict()
+
+
+def _bcast_cached(ref, build):
+    if ref in _BCAST_CACHE:
+        _BCAST_CACHE.move_to_end(ref)
+        return _BCAST_CACHE[ref]
+    val = build()
+    _BCAST_CACHE[ref] = val
+    while len(_BCAST_CACHE) > _BCAST_CACHE_MAX:
+        _BCAST_CACHE.popitem(last=False)
+    return val
 
 
 def broadcast_join(
@@ -59,10 +75,11 @@ def broadcast_join(
         return sk, payload
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        if ref not in _BCAST_CACHE:
+        def build():
             tbl = ray.get(ref)
-            _BCAST_CACHE[ref] = (tbl, _prepare(tbl))
-        tbl, prep = _BCAST_CACHE[ref]
+            return tbl, _prepare(tbl)
+
+        tbl, prep = _bcast_cached(ref, build)
         if prep is None:
             return batch.join(tbl, keys=keys, right_keys=rkeys, join_type=join_type)
         sk, payload = prep

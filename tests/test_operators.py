@@ -447,3 +447,20 @@ def test_shuffle_join_dtype_drifted_left_batches(ray_session):
     )
     assert got["k"].tolist() == [2, 3, 5]
     assert got["w"].tolist() == ["b", "c", "e"]
+
+
+def test_bcast_cache_lru_eviction():
+    """The per-worker broadcast cache is LRU-bounded: a worker probing
+    many distinct dimension tables must not hold them all forever."""
+    from etl_geodata_pipeline_ray.stages import relational as rel
+
+    rel._BCAST_CACHE.clear()
+    for i in range(rel._BCAST_CACHE_MAX + 3):
+        rel._bcast_cached(f"ref{i}", lambda i=i: i)
+    assert len(rel._BCAST_CACHE) == rel._BCAST_CACHE_MAX
+    assert "ref0" not in rel._BCAST_CACHE  # oldest evicted
+    # a hit refreshes recency
+    oldest = next(iter(rel._BCAST_CACHE))
+    rel._bcast_cached(oldest, lambda: None)
+    rel._bcast_cached("refX", lambda: None)
+    assert oldest in rel._BCAST_CACHE

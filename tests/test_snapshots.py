@@ -416,3 +416,31 @@ def test_merge_key_predicate_pushes_to_lsm_scan(ray_session, tmp_path):
         total_rg += pq.ParquetFile(f).metadata.num_row_groups
         matched_rg += len(list(frag.split_by_row_group(filter=kp)))
     assert matched_rg < total_rg, (matched_rg, total_rg)
+
+
+def test_commit_log_phantom_demoted(ray_session, tmp_path):
+    """A commit-log record whose writer crashed before any manifest
+    landed (ADVICE r3) claims segments the resumed replay re-commits;
+    commit_log must demote it to an empty commit instead of reporting
+    segment metadata that lies to n_segments-filtering consumers."""
+    from etl_geodata_pipeline_ray.cdc.replay import _append_commit_log, commit_log
+
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(SPEC, wal, overwrite=True)
+    segs = [p.name for p in sorted(wal.glob("seg-*.parquet"))]
+    assert len(segs) >= 3
+    replay(wal, lake, num_shards=8, mode="append", max_segments=2)
+    # simulate: log appended for the remaining segments, crash pre-manifest
+    _append_commit_log(lake, "deadbeefphantom", segs[2:])
+    # resume re-commits those segments under a fresh id
+    replay(wal, lake, num_shards=8, mode="append")
+    log = commit_log(lake)
+    ph = [e for e in log if e["commit"] == "deadbeefphantom"]
+    assert ph and ph[0]["n_segments"] == 0 and ph[0].get("phantom") is True
+    assert ph[0]["first_segment"] is None and ph[0]["last_segment"] is None
+    real = [e for e in log if e["n_segments"]]
+    assert len(real) == 2  # the two genuine data commits survive intact
+    # and the final table is still oracle-equal
+    from etl_geodata_pipeline_ray.cdc.replay import lake_final_table
+
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
