@@ -216,6 +216,175 @@ class LakeLock:
             os.close(self._fd)
             self._fd = None
 
+    def check(self) -> None:
+        """Fencing probe (no-op): holding the flock IS the single-node
+        exclusivity guarantee — the kernel revokes it only at process
+        death, at which point no commit can follow anyway."""
+
 
 class LakeLockedError(RuntimeError):
     pass
+
+
+class LeaseFencedError(RuntimeError):
+    """A writer's lease expired (or was taken over) before its commit
+    point — committing now could interleave with the new holder."""
+
+
+class LeaseLock:
+    """Lease-based exclusive writer lock — the multi-node variant of
+    ``LakeLock``. ``flock`` state lives in one node's kernel; on a
+    cluster the lock must live in the shared store the lake itself
+    lives on. This implementation uses only primitives any shared
+    POSIX-ish store provides (exclusive create, atomic replace, read),
+    so it runs — and is tested — single-node, and maps 1:1 onto a
+    conditional-put object store.
+
+    Protocol:
+
+    * Lease state is an epoch-numbered file
+      ``_manifests/_lease-{epoch:010d}.json`` holding
+      ``{epoch, holder, pid, heartbeat_ts, ttl_s}``. Epochs only ever
+      increase — the epoch IS the fencing token.
+    * **Acquire**: read the max-epoch lease. A heartbeat younger than
+      its ttl → ``LakeLockedError`` (live holder). Otherwise claim by
+      O_EXCL-creating epoch+1: exclusive create is the CAS, exactly
+      one contender wins, losers get ``LakeLockedError``. Superseded
+      epoch files are GC'd on acquire; release never unlinks (epoch
+      monotonicity must survive clean releases), it just zeroes the
+      heartbeat so the next acquirer need not wait out the ttl.
+    * **Heartbeat**: a daemon thread atomically rewrites the lease
+      with a fresh ``heartbeat_ts`` every ttl/3 (disable with
+      ``auto_heartbeat=False`` — how tests simulate a stalled zombie).
+    * **Fencing**: ``check()`` re-reads the lease directory — a higher
+      epoch, or our own lease past its ttl, raises
+      ``LeaseFencedError``. ``replay``/``compact`` call it at the
+      commit point, immediately before the manifest writes, so a
+      zombie that slept past its ttl cannot commit over the new
+      holder's state. The check-to-write window is not zero on plain
+      files; a store with conditional put closes it by validating the
+      epoch token ON the manifest write itself — manifest-last plus
+      LWW idempotence bounds the damage to a re-mergeable duplicate
+      run in the meantime.
+    """
+
+    def __init__(self, lake_dir, ttl_s: float = 60.0, auto_heartbeat: bool = True):
+        self.dir = Path(lake_dir) / MANIFEST_DIR
+        self.ttl_s = float(ttl_s)
+        self.auto_heartbeat = auto_heartbeat
+        self.epoch: int | None = None
+        self.path: Path | None = None
+        self._hb_stop = None
+
+    def _scan(self) -> tuple[int, dict | None]:
+        mx, rec = -1, None
+        for p in self.dir.glob("_lease-*.json"):
+            try:
+                e = int(p.stem.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if e > mx:
+                try:
+                    rec = json.loads(p.read_text())
+                except (OSError, ValueError):
+                    rec = {}
+                mx = e
+        return mx, rec
+
+    def _rec(self) -> dict:
+        import socket
+        import time
+
+        return {
+            "epoch": self.epoch,
+            "holder": f"{socket.gethostname()}:{os.getpid()}",
+            "pid": os.getpid(),
+            "heartbeat_ts": time.time(),
+            "ttl_s": self.ttl_s,
+        }
+
+    def __enter__(self):
+        import time
+
+        self.dir.mkdir(parents=True, exist_ok=True)
+        mx, rec = self._scan()
+        if rec is not None:
+            age = time.time() - rec.get("heartbeat_ts", 0)
+            if age < rec.get("ttl_s", self.ttl_s):
+                raise LakeLockedError(
+                    f"lake lease epoch {mx} held by {rec.get('holder')} "
+                    f"(heartbeat {age:.1f}s ago, ttl {rec.get('ttl_s')}s)"
+                )
+        self.epoch = mx + 1
+        self.path = self.dir / f"_lease-{self.epoch:010d}.json"
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            self.epoch = self.path = None
+            raise LakeLockedError(
+                "lost the lease-acquire race (another contender claimed "
+                "the next epoch first)"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._rec(), f)
+            f.flush()
+            os.fsync(f.fileno())
+        for p in self.dir.glob("_lease-*.json"):
+            if p != self.path:
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
+        if self.auto_heartbeat:
+            import threading
+
+            self._hb_stop = threading.Event()
+
+            def beat(stop=self._hb_stop):
+                while not stop.wait(self.ttl_s / 3):
+                    try:
+                        self.heartbeat()
+                    except LeaseFencedError:
+                        return
+
+            threading.Thread(target=beat, daemon=True).start()
+        return self
+
+    def heartbeat(self) -> None:
+        """Refresh our heartbeat_ts (atomic replace). Raises if fenced."""
+        self.check()
+        atomic_write_json(self._rec(), self.path)
+
+    def check(self) -> None:
+        import time
+
+        if self.epoch is None:
+            raise LeaseFencedError("lease not held")
+        mx, rec = self._scan()
+        if mx != self.epoch:
+            raise LeaseFencedError(
+                f"lease epoch {self.epoch} fenced by epoch {mx} "
+                f"(holder {(rec or {}).get('holder')})"
+            )
+        age = time.time() - (rec or {}).get("heartbeat_ts", 0)
+        if age >= (rec or {}).get("ttl_s", self.ttl_s):
+            raise LeaseFencedError(
+                f"own lease epoch {self.epoch} expired {age - self.ttl_s:.1f}s "
+                "ago; a new holder may claim it at any moment"
+            )
+
+    def __exit__(self, *exc):
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+        if self.epoch is None:
+            return
+        try:
+            rec = self._rec()
+            rec["heartbeat_ts"] = 0  # released: next acquirer skips the ttl wait
+            mx, _ = self._scan()
+            if mx == self.epoch:  # don't clobber a successor's lease
+                atomic_write_json(rec, self.path)
+        except OSError:
+            pass
+        finally:
+            self.epoch = self.path = None

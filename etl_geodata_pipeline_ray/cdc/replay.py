@@ -289,9 +289,15 @@ def replay(
     compact_runs: int = 8,
     max_bytes_per_commit: int = 6 << 30,
     retain_versions: int = 2,
+    lock_cls=None,
 ) -> dict:
     """Replay all uncommitted WAL segments into the lake. Idempotent:
     call again after a crash and it resumes from the manifests.
+
+    ``lock_cls`` selects the writer lock: ``mf.LakeLock`` (default;
+    single-node flock) or ``mf.LeaseLock`` (epoch-fenced lease, the
+    multi-node posture). Either way the lock's ``check()`` runs at
+    every commit point, immediately before the manifest writes.
 
     ``retain_versions`` (pinned in ``_lake.json`` at lake creation,
     like ``num_shards``) keeps that many manifest versions per shard:
@@ -356,7 +362,8 @@ def replay(
     if max_segments is not None:
         segments = segments[:max_segments]
 
-    with mf.LakeLock(lake_dir):
+    with (lock_cls or mf.LakeLock)(lake_dir) as lk:
+        fence = lk.check
         # manifests are read INSIDE the lock: another replay may have
         # committed between call time and lock acquisition, and a stale
         # snapshot here would re-write just-committed v{N}-s{salt}
@@ -374,6 +381,7 @@ def replay(
             return _replay_locked(
                 lake_dir, pending, manifests, num_shards, salt_threshold,
                 batch_size, mode, compact_runs, timings, retain_versions,
+                fence=fence,
             )
 
         # micro-batch the backlog: greedy size-bounded groups of
@@ -410,6 +418,7 @@ def replay(
             st = _replay_locked(
                 lake_dir, b, manifests, num_shards, salt_threshold,
                 batch_size, batch_mode, compact_runs, {}, retain_versions,
+                fence=fence,
             )
             agg["committed_segments"] += st["committed_segments"]
             agg["shards_updated"] = max(agg["shards_updated"], st["shards_updated"])
@@ -422,7 +431,7 @@ def replay(
             manifests = mf.read_all_manifests(lake_dir)
         if mode == "rewrite":
             _t1 = _time.perf_counter()
-            cst = _compact_locked(lake_dir, salt_threshold, retain_versions)
+            cst = _compact_locked(lake_dir, salt_threshold, retain_versions, fence=fence)
             timings["final_compact"] = round(_time.perf_counter() - _t1, 3)
             agg["shards_compacted"] = cst.get("shards_compacted", 0)
         return agg
@@ -439,6 +448,7 @@ def _replay_locked(
     compact_runs: int,
     timings: dict,
     retain_versions: int = 1,
+    fence=None,
 ) -> dict:
     import time as _time
 
@@ -572,6 +582,11 @@ def _replay_locked(
     _t0 = _time.perf_counter()
 
     # ---------------- commit: manifest-last, one per shard -------------
+    if fence is not None:
+        # fencing point: a zombie writer whose lease expired (or was
+        # taken over) must abort BEFORE anything becomes visible —
+        # nothing above this line touched the commit log or manifests
+        fence()
     seg_names = [Path(p).name for p in pending]
     # Quarantine lands BEFORE the shard manifests (the commit point):
     # if we crash in between, the segments read as uncommitted, the
@@ -681,23 +696,24 @@ def _replay_locked(
 def compact(
     lake_dir: str | Path,
     salt_threshold: int = 512 * 1024 * 1024,
+    lock_cls=None,
 ) -> dict:
     """Force full compaction: every shard with more than one run file
     is LWW-merged into one file per salt. Commit protocol identical to
     replay (new files invisible until the manifest lands); committed
-    segment bookkeeping is untouched."""
+    segment bookkeeping is untouched. ``lock_cls`` as in ``replay``."""
     lake_dir = Path(lake_dir)
     meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
     retain = 1
     if meta_path.exists():
         with open(meta_path) as f:
             retain = json.load(f).get("retain_versions", 1)
-    with mf.LakeLock(lake_dir):
-        return _compact_locked(lake_dir, salt_threshold, retain)
+    with (lock_cls or mf.LakeLock)(lake_dir) as lk:
+        return _compact_locked(lake_dir, salt_threshold, retain, fence=lk.check)
 
 
 def _compact_locked(
-    lake_dir: Path, salt_threshold: int, retain_versions: int = 1
+    lake_dir: Path, salt_threshold: int, retain_versions: int = 1, fence=None
 ) -> dict:
     manifests = mf.read_all_manifests(lake_dir)
     with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
@@ -735,6 +751,8 @@ def _compact_locked(
     for r in stats_rows:
         by_shard.setdefault(int(r["shard"]), []).append(r)
     commit_id = uuid.uuid4().hex[:12]
+    if fence is not None:
+        fence()  # fencing point: nothing visible has been written yet
     _append_commit_log(lake_dir, commit_id, [])
     new_manifests = dict(manifests)
     for sh, rows in sorted(by_shard.items()):

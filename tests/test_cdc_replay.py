@@ -451,3 +451,92 @@ def test_merge_mem_estimate_bounds(ray_session):
         assert _merge_mem_bytes(1 << 40, 1 << 40, 1, 1 << 39) <= cap
     # salting divides the base share
     assert _merge_mem_bytes(0, 8 << 30, 8, 0) < _merge_mem_bytes(0, 8 << 30, 1, 0)
+
+
+def test_lease_lock_zombie_cannot_commit(ray_session, tmp_path):
+    """Round-3 verdict #7: the multi-node lease design, simulated
+    single-node. A writer whose lease expired (stalled, no heartbeat)
+    must be fenced at the commit point — after a new holder claims the
+    next epoch, the zombie's commit raises and nothing lands."""
+    import time
+
+    import pytest
+
+    import etl_geodata_pipeline_ray.cdc.manifest as mf
+    from etl_geodata_pipeline_ray.cdc.manifest import (
+        LakeLockedError,
+        LeaseFencedError,
+        LeaseLock,
+    )
+
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    write_wal(SCENARIOS["clean"], wal, overwrite=True)
+
+    # happy path: full replay under a lease lock, oracle-equal
+    replay(wal, lake, num_shards=8, lock_cls=mf.LeaseLock)
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+    # live holder refuses a contender
+    with LeaseLock(lake, ttl_s=30):
+        with pytest.raises(LakeLockedError, match="lease epoch"):
+            LeaseLock(lake, ttl_s=30).__enter__()
+
+    # zombie: acquires, stalls past its ttl without heartbeating
+    zombie = LeaseLock(lake, ttl_s=0.3, auto_heartbeat=False)
+    zombie.__enter__()
+    e0 = zombie.epoch
+    time.sleep(0.4)
+    # expired-but-not-stolen is already fenced (a steal can happen any
+    # moment): the zombie must not commit on a dead lease either
+    with pytest.raises(LeaseFencedError, match="expired"):
+        zombie.check()
+    # a new holder claims the next epoch (monotonic fencing token)
+    taker = LeaseLock(lake, ttl_s=30, auto_heartbeat=False)
+    taker.__enter__()
+    assert taker.epoch == e0 + 1
+    with pytest.raises(LeaseFencedError, match="fenced by epoch"):
+        zombie.check()
+
+    # end-to-end: the zombie's replay must abort at the fencing point
+    # with NO new commit visible
+    class ZombieLease:
+        def __init__(self, lake_dir):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            pass
+
+        check = staticmethod(zombie.check)
+
+    from etl_geodata_pipeline_ray.cdc.replay import commit_log
+
+    wal2 = tmp_path / "wal2"
+    # small seg_size so max_segments=1 leaves a real backlog for the
+    # zombie replay to attempt (and be fenced on)
+    write_wal(WalSpec(n_convs=60, seed=77, seg_size=200), wal2, overwrite=True)
+    lake2 = tmp_path / "lake2"
+    replay(wal2, lake2, num_shards=4, max_segments=1)
+    log_before = commit_log(lake2)
+    mans_before = {
+        p.name: p.read_bytes()
+        for p in (lake2 / "_manifests").glob("shard-*.json")
+    }
+    with pytest.raises(LeaseFencedError):
+        replay(wal2, lake2, num_shards=4, lock_cls=ZombieLease)
+    assert commit_log(lake2) == log_before
+    assert {
+        p.name: p.read_bytes()
+        for p in (lake2 / "_manifests").glob("shard-*.json")
+    } == mans_before
+    taker_epoch = taker.epoch
+    taker.__exit__()
+
+    # epoch monotonicity survives clean release: next acquire continues
+    nxt = LeaseLock(lake, ttl_s=30, auto_heartbeat=False)
+    nxt.__enter__()
+    assert nxt.epoch == taker_epoch + 1
+    nxt.__exit__()
