@@ -220,15 +220,16 @@ def _pairs_from_buckets(
 ) -> pd.DataFrame:
     """All (a < b) pairs within each bucket group, fully C-level: a
     pandas self-merge for groups ≤ ``cap`` members; oversized buckets
-    are split into OVERLAPPING chunks of ``cap`` consecutive (sorted)
-    ids — consecutive chunks share one boundary element — and pairs are
-    expanded within each chunk. Cost is bounded at ~n·cap/2 pairs per
-    oversized bucket (vs n²/2 unbounded); pair recall within an
-    oversized bucket is limited to id-distance < cap, which survives
-    downstream exact verification for the near-identical clusters that
-    actually produce oversized LSH buckets (every within-chunk pair
-    verifies, the shared boundary elements keep chunks connected). A
-    warning counts the affected rows so the recall limit is visible."""
+    are chunked TWICE — once at offsets 0, cap, 2·cap … and once
+    half-shifted at cap/2, 3·cap/2 … — and pairs are expanded within
+    each chunk of both passes. Every pair at sorted-id distance
+    ≤ cap/2 co-resides in some chunk of at least one pass, so adjacent
+    ids are ALWAYS proposed and chunk-to-chunk connectivity rides on
+    many overlapping pairs, never on a single boundary element whose
+    verification failure would split a component. Cost is bounded at
+    ~n·cap pairs per oversized bucket (vs n²/2 unbounded); pairs
+    beyond distance cap are dropped. A warning counts the affected
+    rows so the recall limit is visible."""
     df = df[key_cols + [id_col]].drop_duplicates()
     sizes = df.groupby(key_cols)[id_col].transform("size")
     small = df[(sizes >= 2) & (sizes <= cap)]
@@ -244,21 +245,22 @@ def _pairs_from_buckets(
 
         logging.getLogger(__name__).warning(
             "_pairs_from_buckets: %d rows fall in buckets larger than cap=%d; "
-            "within those buckets only pairs at sorted-id distance < cap are "
-            "proposed (bounded sub-quadratic expansion)",
+            "within those buckets all pairs at sorted-id distance <= cap/2 "
+            "(and some up to cap) are proposed via two half-shifted chunk "
+            "passes; farther pairs are dropped (bounded sub-quadratic "
+            "expansion)",
             len(big),
             cap,
         )
-        b = big.sort_values(key_cols + [id_col], kind="stable").copy()
+        b = big.sort_values(key_cols + [id_col], kind="stable")
         pos = b.groupby(key_cols).cumcount().to_numpy()
-        b["_chunk"] = pos // cap
-        boundary = b[(pos % cap == 0) & (pos > 0)].copy()
-        boundary["_chunk"] -= 1  # shared element binds consecutive chunks
-        bb = pd.concat([b, boundary], ignore_index=True)
-        m = bb.merge(bb, on=key_cols + ["_chunk"])
-        xa, xb = m[id_col + "_x"].to_numpy(), m[id_col + "_y"].to_numpy()
-        keep = xa < xb
-        outs.append(pd.DataFrame({"a": xa[keep], "b": xb[keep]}))
+        for off in (0, cap // 2):
+            bo = b.copy()
+            bo["_chunk"] = (pos + off) // cap
+            m = bo.merge(bo, on=key_cols + ["_chunk"])
+            xa, xb = m[id_col + "_x"].to_numpy(), m[id_col + "_y"].to_numpy()
+            keep = xa < xb
+            outs.append(pd.DataFrame({"a": xa[keep], "b": xb[keep]}))
     if not outs:
         return _empty_pairs()
     out = pd.concat(outs, ignore_index=True).drop_duplicates()
@@ -622,10 +624,13 @@ def ngram_jaccard_pairs(
     approximates; quadratic per block by construction. Blocks larger
     than ``block_cap`` are NOT expanded all-pairs (one
     block-is-all-English-docs call would be O(n²) in a single task):
-    they fall back to overlapping chunks of ``block_cap`` consecutive
-    ids (bounded ~n·cap pair cost) with a loud warning counting the
-    dropped cross-chunk comparisons — use MinHash (the documented
-    default) when blocks can be unbounded. Returns a DATASET of
+    they fall back to two half-shifted chunkings of ``block_cap``
+    consecutive ids (bounded ~n·cap pair cost) — every pair at
+    sorted-id distance ≤ cap/2 is compared in some chunk, so adjacent
+    ids always get their exact Jaccard and connectivity never depends
+    on a single boundary element — with a loud warning counting the
+    dropped farther comparisons. Use MinHash (the documented default)
+    when blocks can be unbounded. Returns a DATASET of
     (a, b, jaccard)."""
 
     def block(g: pd.DataFrame) -> pd.DataFrame:
@@ -636,14 +641,18 @@ def ngram_jaccard_pairs(
 
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_pairs: block of %d rows exceeds block_cap=%d; "
-                "only pairs within sorted-id distance < cap are compared "
+                "all pairs within sorted-id distance <= cap/2 (and some up "
+                "to cap) are compared via two half-shifted chunk passes "
                 "(exact all-pairs needs bounded blocks — use MinHash instead)",
                 len(g),
                 block_cap,
             )
             chunks = [
-                g.iloc[s : s + block_cap + 1]
+                g.iloc[s : s + block_cap]
                 for s in range(0, len(g) - 1, block_cap)
+            ] + [
+                g.iloc[s : s + block_cap]
+                for s in range(block_cap // 2, len(g) - 1, block_cap)
             ]
         else:
             chunks = [g]

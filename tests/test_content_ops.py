@@ -368,3 +368,29 @@ def test_resize_stage(ray_session):
     assert out["px_mean"].notna().all()
     with pytest.raises(NotImplementedError):
         ResizeImage(mode="real")._resize(b"GIMG")
+
+
+def test_oversized_bucket_two_pass_connectivity():
+    """ADVICE r3: oversized-bucket chunking must not hinge component
+    connectivity on a single shared boundary element. With the two
+    half-shifted passes, EVERY pair at sorted-id distance <= cap/2 —
+    in particular every adjacent pair, including those straddling a
+    pass-0 chunk boundary — is proposed, and cost stays ~n*cap."""
+    from etl_geodata_pipeline_ray.stages.dedup import _pairs_from_buckets
+
+    n, cap = 500, 64
+    df = pd.DataFrame({"bh": 0, "doc_id": np.arange(n)})
+    pairs = _pairs_from_buckets(df, ["bh"], "doc_id", cap=cap)
+    got = set(zip(pairs["a"], pairs["b"]))
+    # all pairs at distance <= cap/2 proposed (covers every adjacent pair)
+    for d in (1, cap // 4, cap // 2):
+        missing = [(i, i + d) for i in range(n - d) if (i, i + d) not in got]
+        assert not missing, f"distance-{d} pairs missing: {missing[:5]}"
+    # nothing beyond distance cap; total bounded well under n^2/2
+    assert max(b - a for a, b in got) <= cap
+    assert len(got) < n * cap
+    # small buckets are exact all-pairs, unaffected
+    small = _pairs_from_buckets(
+        pd.DataFrame({"bh": 1, "doc_id": np.arange(5)}), ["bh"], "doc_id", cap=cap
+    )
+    assert len(small) == 10
