@@ -60,8 +60,13 @@ def unify(schemas: list[pa.Schema]) -> pa.Schema:
 
     ``promote_options="permissive"`` lets ``string`` widen to
     ``large_string`` etc.; column order follows first appearance.
+    Metadata is stripped: a schema carrying the pandas metadata dict is
+    unhashable, which disables Ray Data's block-schema dedup (one
+    warning per task) everywhere downstream.
     """
-    return pa.unify_schemas(list(schemas), promote_options="permissive")
+    return pa.unify_schemas(
+        list(schemas), promote_options="permissive"
+    ).remove_metadata()
 
 
 def conform(batch: pa.Table, target: pa.Schema) -> pa.Table:

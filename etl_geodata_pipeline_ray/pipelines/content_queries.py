@@ -28,11 +28,15 @@ from ..stages.text import Fingerprinter, LangId, QualityScorer, token_stats
 
 
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ..io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _embs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from ..io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------- q21

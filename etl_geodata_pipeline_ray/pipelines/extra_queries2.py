@@ -19,7 +19,9 @@ from ..stages.bucketed import bucketed_apply
 
 
 def _read(sf_dir: str, table: str, columns=None, **kw) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+    from ..io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
 # ---------------------------------------------------------------- q40
@@ -28,8 +30,9 @@ def q40_pushdown_scan(sf_dir: str) -> pd.DataFrame:
     pyarrow dataset expression evaluated by the parquet reader
     (row-group pruning), not a post-read map (reference QuackOSM
     tag+bbox pushdown, ``data_loader.py:97-108``)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
+    ds = _read(
+        sf_dir,
+        "orders",
         columns=["o_orderpriority", "o_totalprice"],
         filter=(pc.field("o_totalprice") > 400_000.0),
     )

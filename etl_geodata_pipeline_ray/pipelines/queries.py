@@ -36,7 +36,9 @@ from ..stages.windows import tumbling_window
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..io import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:

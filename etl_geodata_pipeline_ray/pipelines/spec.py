@@ -84,7 +84,9 @@ def run_file(path: str | Path, **params) -> ray.data.Dataset:
 @register_step("read_parquet")
 def _read_parquet(ds, path: str, columns: list[str] | None = None):
     assert ds is None, "read_parquet must be the first step"
-    return ray.data.read_parquet(path, columns=columns)
+    from ..io import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns)
 
 
 @register_step("filter_expr")
@@ -211,7 +213,9 @@ def _shuffle_join(ds, path: str, on: list[str], right_on: list[str] | None = Non
     (the non-broadcast path; see stages/relational.shuffle_join)."""
     from ..stages.relational import shuffle_join
 
-    right = ray.data.read_parquet(path, columns=columns)
+    from ..io import read_parquet_clean
+
+    right = read_parquet_clean(path, columns=columns)
     return shuffle_join(ds, right, on=on, right_on=right_on,
                         join_type=join_type, n_buckets=n_buckets)
 

@@ -180,10 +180,16 @@ def shuffle_join(
     the whole upstream pipeline just to peek one block."""
     rkeys = right_on or on
     # canonicalize both sides to Arrow blocks so schemas carry pyarrow
-    # types (pandas-block datasets report numpy dtypes); the identity
-    # map fuses with the neighboring stages.
-    left = left.map_batches(lambda t: t, batch_format="pyarrow")
-    right = right.map_batches(lambda t: t, batch_format="pyarrow")
+    # types (pandas-block datasets report numpy dtypes), stripping any
+    # parquet pandas-metadata dict (it makes schemas unhashable, which
+    # disables Ray's block-schema dedup); the map fuses with the
+    # neighboring stages.
+    left = left.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    right = right.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
 
     def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
         sch = ds.schema()
