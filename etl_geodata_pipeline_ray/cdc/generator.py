@@ -410,6 +410,7 @@ def write_wal_parallel(
     chunk_convs: int = 400_000,
     overwrite: bool = False,
     task_cpus: int = 4,
+    chunk_base: int = 0,
 ) -> list[Path]:
     """Parallel variant of ``write_wal_chunked``: each conversation
     chunk is generated by an independent Ray task (generation is
@@ -432,6 +433,12 @@ def write_wal_parallel(
 
     ``task_cpus`` throttles concurrency (each in-flight chunk holds
     ~2 copies of its ~1 GB event table in task heap).
+
+    ``chunk_base`` offsets the chunk index: wave-style callers that
+    generate one bounded WAL slice at a time (generate → replay → GC,
+    so a 10^9+ stream never co-resides on disk) pass the number of
+    chunks already emitted, giving every wave a disjoint conv-id /
+    op_seq / segment-name space in ONE logical stream.
     """
     import ray
 
@@ -447,7 +454,7 @@ def write_wal_parallel(
     stride = chunk_convs * 64
     task = ray.remote(num_cpus=task_cpus)(_chunk_task)
     refs = []
-    ci = 0
+    ci = chunk_base
     remaining = spec.n_convs
     while remaining > 0:
         sub = replace(
