@@ -364,12 +364,14 @@ def _chunk_task(
 
     events = generate_events(sub_spec, conv_base=conv_base)
     m = events.num_rows
-    if m >= stride:
-        raise ValueError(
-            f"chunk produced {m} events >= stride {stride}; raise the "
-            "stride (events per conv exceeded the 64x safety bound)"
-        )
     order = delivery_order(sub_spec, m)
+    # segment names span DELIVERED rows (events + dup re-deliveries)
+    if len(order) >= stride:
+        raise ValueError(
+            f"chunk produced {len(order)} delivered rows >= stride "
+            f"{stride}; raise the stride (rows per conv exceeded the "
+            "statistical safety bound)"
+        )
     delivered = events.take(pa.array(order))
     del events
     if seq_base:
@@ -451,7 +453,18 @@ def write_wal_parallel(
 
     from dataclasses import replace
 
-    stride = chunk_convs * 64
+    # statistical upper bound on delivered rows per chunk: ~3.5x the
+    # per-conv mean (generous vs the geometric turn tail + dup
+    # re-deliveries, which concentrate hard at chunk sizes >= 100
+    # convs), floored at the historical 64x so every spec used to date
+    # (mu <= 18.3) keeps its exact segment names and cached streams
+    # stay byte-identical. _chunk_task asserts the bound held.
+    mu = (
+        spec.mean_turns
+        * (1.0 + spec.update_frac + spec.delete_frac)
+        * (1.0 + spec.dup_rate)
+    )
+    stride = chunk_convs * max(64, int(3.5 * mu))
     task = ray.remote(num_cpus=task_cpus)(_chunk_task)
     refs = []
     ci = chunk_base
