@@ -76,11 +76,15 @@ def validate_lake(lake_dir: str | Path) -> dict:
             if not ops <= set(_VALID_OPS):
                 v.append(f"I1 unknown ops {sorted(ops - set(_VALID_OPS))}")
             df = t.select(["conv_id", "turn_idx"]).to_pandas()
-            key = df["conv_id"].astype(str) + "\x00" + df["turn_idx"].astype(str)
             srt = df.sort_values(["conv_id", "turn_idx"], kind="stable")
             if not (srt.index.to_numpy() == np.arange(len(df))).all():
                 v.append("I2 not sorted by (conv_id, turn_idx)")
-            if it["check_dups"] and key.duplicated().any():
+            # NB: never build a separator-joined string key here —
+            # pandas' Series-str concat kernel silently DROPS "\x00",
+            # so "conv_1010653"+sep+"10" == "conv_10106531"+sep+"0"
+            # and variable-length ids (>10M convs) false-flag; the
+            # tuple-wise duplicated() is exact (found at the 10^9 rung)
+            if it["check_dups"] and df.duplicated(["conv_id", "turn_idx"]).any():
                 v.append("I3 duplicate keys in compacted file")
             sh_all = shard_of(hash_u64(t["conv_id"].combine_chunks()), num_shards)
             if not (sh_all == int(it["shard"])).all():

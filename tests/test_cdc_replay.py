@@ -586,3 +586,103 @@ def test_wal_waves_disjoint_and_oracle_equal(ray_session, tmp_path):
     convs = got["conv_id"].to_pylist()
     assert any(c == "conv_0000000" for c in convs)
     assert len({c for c in convs}) > 600  # ~3 x 300 minus deletes
+
+
+def test_concurrent_lease_writers_interleave(ray_session, tmp_path):
+    """Multi-writer posture: N real OS processes race ``replay(...,
+    lock_cls=LeaseLock)`` over ONE shared WAL into ONE lake, each
+    grabbing a few segments per lease acquisition. Exactly one holds
+    the lease at a time (the others see ``LakeLockedError`` and
+    retry); the interleaved commits must converge to the combined
+    oracle, and at least two distinct processes must have committed —
+    the single-node simulation of multi-node writers sharing a store."""
+    import subprocess
+    import sys
+
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    spec = WalSpec(
+        n_convs=400, seed=23, dup_rate=0.08, shuffle_window=200,
+        schema_change_frac=0.5, zipf_s=1.1, seg_size=300,
+    )
+    segs = write_wal(spec, wal, overwrite=True)
+    assert len(segs) >= 12
+
+    writer = tmp_path / "writer.py"
+    writer.write_text(
+        "import sys, time, logging, json\n"
+        f"sys.path.insert(0, {str(Path(__file__).resolve().parents[1])!r})\n"
+        "import ray\n"
+        "ray.init(address='local', num_cpus=2, include_dashboard=False,\n"
+        "         logging_level=logging.ERROR)\n"
+        "from ray.data import DataContext\n"
+        "DataContext.get_current().enable_progress_bars = False\n"
+        "from etl_geodata_pipeline_ray.cdc import manifest as mf\n"
+        "from etl_geodata_pipeline_ray.cdc.replay import replay\n"
+        "wal, lake = sys.argv[1], sys.argv[2]\n"
+        "mine = 0\n"
+        "while True:\n"
+        "    try:\n"
+        "        st = replay(wal, lake, num_shards=8, mode='append',\n"
+        "                    max_segments=3, lock_cls=mf.LeaseLock)\n"
+        "    except mf.LakeLockedError:\n"
+        "        time.sleep(0.05)\n"
+        "        continue\n"
+        "    if st['committed_segments'] == 0:\n"
+        "        break\n"
+        "    mine += st['committed_segments']\n"
+        "    time.sleep(0.3)  # give the others a window to win the lease\n"
+        "print(json.dumps({'committed': mine}))\n"
+        "ray.shutdown()\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(writer), str(wal), str(lake)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for _ in range(3)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    import json as _json
+
+    committed = [_json.loads(o.strip().splitlines()[-1])["committed"] for o in outs]
+    assert sum(committed) == len(segs)
+    assert sum(1 for c in committed if c > 0) >= 2, committed
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_validate_lake_variable_length_conv_ids(ray_session, tmp_path):
+    """Regression for a 10^9-rung validator false positive: pandas'
+    Series-str concat kernel silently drops "\\x00", so a
+    separator-joined composite key collapsed ("conv_1010653", 10) and
+    ("conv_10106531", 0) into the same string and I3 false-flagged any
+    compacted lake whose conv ids cross a digit-length boundary. The
+    check must be tuple-wise."""
+    import pyarrow as pa
+
+    from etl_geodata_pipeline_ray.cdc.schema import EVENT_SCHEMA
+    from etl_geodata_pipeline_ray.cdc.replay import compact
+    from etl_geodata_pipeline_ray.cdc.validate import validate_lake
+
+    base = 1_700_000_000_000_000
+    rows = {
+        "op": ["I"] * 4,
+        "op_seq": [1, 2, 3, 4],
+        "ts": pa.array([base + i for i in range(4)], pa.timestamp("us")),
+        "conv_id": ["conv_1010653", "conv_10106531", "conv_1010653", "conv_10106531"],
+        "turn_idx": pa.array([10, 0, 11, 1], pa.int32()),
+        "role": ["user"] * 4,
+        "text": pa.array(["a", "b", "c", "d"], pa.large_string()),
+        "tool": [None] * 4,
+    }
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    pq.write_table(pa.table(rows, schema=EVENT_SCHEMA), wal / "seg-000000000000.parquet")
+    lake = tmp_path / "lake"
+    st = replay(wal, lake, num_shards=2, mode="append")
+    assert st["committed_segments"] == 1
+    compact(lake)
+    v = validate_lake(lake)
+    assert v["ok"], v["violations"]
+    assert lake_final_table(lake).num_rows == 4
