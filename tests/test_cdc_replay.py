@@ -619,25 +619,30 @@ def test_concurrent_lease_writers_interleave(ray_session, tmp_path):
         "DataContext.get_current().enable_progress_bars = False\n"
         "from etl_geodata_pipeline_ray.cdc import manifest as mf\n"
         "from etl_geodata_pipeline_ray.cdc.replay import replay\n"
-        "wal, lake = sys.argv[1], sys.argv[2]\n"
-        "mine = 0\n"
+        "wal, lake, total = sys.argv[1], sys.argv[2], int(sys.argv[3])\n"
+        "mine, k = 0, 3\n"
         "while True:\n"
         "    try:\n"
+        "        # max_segments is a PREFIX cap: walking k up the ladder\n"
+        "        # commits at most 3 new segments per lease acquisition\n"
         "        st = replay(wal, lake, num_shards=8, mode='append',\n"
-        "                    max_segments=3, lock_cls=mf.LeaseLock)\n"
+        "                    max_segments=(k if k < total else None),\n"
+        "                    lock_cls=mf.LeaseLock)\n"
         "    except mf.LakeLockedError:\n"
         "        time.sleep(0.05)\n"
         "        continue\n"
-        "    if st['committed_segments'] == 0:\n"
-        "        break\n"
         "    mine += st['committed_segments']\n"
-        "    time.sleep(0.3)  # give the others a window to win the lease\n"
+        "    if k >= total and st['committed_segments'] == 0:\n"
+        "        break  # a FULL replay found nothing pending: stream done\n"
+        "    k += 3\n"
+        "    if st['committed_segments']:\n"
+        "        time.sleep(0.3)  # window for the others to win the lease\n"
         "print(json.dumps({'committed': mine}))\n"
         "ray.shutdown()\n"
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(writer), str(wal), str(lake)],
+            [sys.executable, str(writer), str(wal), str(lake), str(len(segs))],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
         for _ in range(3)
