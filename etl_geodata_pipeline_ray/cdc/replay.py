@@ -202,6 +202,61 @@ def _merge_mem_bytes(delta_disk: int, base_disk: int, k: int, max_base_file: int
     return max(est, 256 << 20)
 
 
+def _file_version(path: str) -> int:
+    """Commit-version tier of a lake file ("shard=00001/v000012-s003
+    .parquet" → 12): files written by one commit form one tier."""
+    return int(path.rsplit("/", 1)[-1][1:7])
+
+
+def _tiered_fold(
+    old_recs: list[dict],
+    delta_bytes: int,
+    k_new: int,
+    compact_runs: int,
+    ratio: float = 4.0,
+) -> tuple[list[dict], list[dict]]:
+    """Size-tiered compaction plan for one shard whose run count
+    crossed ``compact_runs``: returns ``(fold, keep)`` file records.
+
+    LWW merge is associative, so folding any SUBSET of runs is
+    correct; the question is write amplification. The old behavior
+    folded everything — O(shard) rewrite every ``compact_runs``
+    commits, i.e. the base is re-written over and over as the lake
+    grows. Instead, group files by the commit that wrote them (one
+    tier per version) and KEEP the dominant tiers: a tier stays out of
+    the fold while it is ≥ ``ratio``× everything smaller than it
+    (including the incoming delta). Young tiers merge geometrically
+    (1st fold ≈ 7 deltas, next ≈ 7+merged, ...) and the base is only
+    re-written once the accumulated young data is within ``ratio`` of
+    it — amortized O(N log N) bytes written instead of O(N²/8).
+
+    Post-commit run count is forced ≤ ``compact_runs``: if the kept
+    tiers alone would exceed the budget (many salted base files), the
+    smallest kept tiers are folded too."""
+    groups: dict[int, list[dict]] = {}
+    for f in old_recs:
+        groups.setdefault(_file_version(f["path"]), []).append(f)
+    sized = sorted(
+        ((sum(int(f["bytes"]) for f in g), g) for g in groups.values()),
+        key=lambda t: -t[0],
+    )
+    total = delta_bytes + sum(b for b, _ in sized)
+    keep_groups: list[list[dict]] = []
+    kept_files = 0
+    for b, g in sized:
+        rest = total - b
+        if b >= ratio * rest and kept_files + len(g) + k_new <= compact_runs:
+            keep_groups.append(g)
+            kept_files += len(g)
+            total = rest
+        else:
+            break  # tiers below this are young: fold them all
+    keep = [f for g in keep_groups for f in g]
+    keep_paths = {f["path"] for f in keep}
+    fold = [f for f in old_recs if f["path"] not in keep_paths]
+    return fold, keep
+
+
 @ray.remote
 def _merge_task(
     lake_dir: str,
@@ -314,9 +369,12 @@ def replay(
     ``mode="append"`` — LSM fast path: each commit lands the shard's
     deduped delta as a NEW run file without reading the base. Write
     cost ∝ delta size only (the 10^10-events posture: a commit never
-    rewrites the lake). Readers LWW-merge runs per shard; a shard whose
-    run count would exceed ``compact_runs`` is auto-compacted during
-    the commit, and ``compact()`` forces full compaction.
+    rewrites the lake). Readers LWW-merge runs per shard; a shard
+    whose run count would exceed ``compact_runs`` takes a SIZE-TIERED
+    fold during the commit (``_tiered_fold``: young run tiers merge,
+    tiers ≥4× everything younger — usually the base — are kept as-is,
+    so the base is only rewritten when young data rivals it);
+    ``compact()`` forces full compaction.
 
     ``max_bytes_per_commit`` bounds how much WAL one commit ingests:
     a larger backlog is split into sequential append-mode micro-batch
@@ -426,6 +484,10 @@ def replay(
             agg["salted_shards"] += st["salted_shards"]
             agg["gc_files"] += st["gc_files"]
             agg["quarantined_rows"] += st.get("quarantined_rows", 0)
+            agg["shards_auto_compacted"] = (
+                agg.get("shards_auto_compacted", 0)
+                + st.get("shards_auto_compacted", 0)
+            )
             for k, v in st["timings"].items():
                 timings[k] = round(timings.get(k, 0.0) + v, 3)
             manifests = mf.read_all_manifests(lake_dir)
@@ -533,7 +595,6 @@ def _replay_locked(
     # of tasks is made of small ones (shorter straggler tail).
     plans.sort(key=lambda p: -p[3])
 
-    old_files = {sh: [f["path"] for f in m["files"]] for sh, m in manifests.items()}
     old_k = {sh: m.get("salt_k", 1) for sh, m in manifests.items()}
     new_version = {sh: m["version"] + 1 for sh, m in manifests.items()}
 
@@ -550,16 +611,23 @@ def _replay_locked(
     split_files = {sh: ray.get(r) for sh, r in split_refs.items()}
 
     refs = []
-    rewrite_shard: dict[int, bool] = {}
+    keep_map: dict[int, list[dict]] = {}
+    auto_compacted = 0
     for sh, k, files, delta_bytes in plans:
-        rewrite = mode == "rewrite" or len(old_files.get(sh, [])) + k > compact_runs
-        rewrite_shard[sh] = rewrite
         old_m = manifests.get(sh)
-        base_disk = int(old_m["bytes"]) if (rewrite and old_m) else 0
-        max_base_file = max(
-            (int(f["bytes"]) for f in (old_m["files"] if (rewrite and old_m) else [])),
-            default=0,
-        )
+        old_recs = list(old_m["files"]) if old_m else []
+        if mode == "rewrite":
+            fold_recs, keep = old_recs, []
+        elif len(old_recs) + k <= compact_runs:
+            fold_recs, keep = [], old_recs  # plain append: runs accumulate
+        else:
+            # run budget exceeded: size-tiered fold (see _tiered_fold)
+            fold_recs, keep = _tiered_fold(old_recs, delta_bytes, k, compact_runs)
+            auto_compacted += 1
+        keep_map[sh] = keep
+        fold_paths = [f["path"] for f in fold_recs]
+        base_disk = sum(int(f["bytes"]) for f in fold_recs)
+        max_base_file = max((int(f["bytes"]) for f in fold_recs), default=0)
         mem = _merge_mem_bytes(delta_bytes // k, base_disk, k, max_base_file)
         for j in range(k):
             delta_j = split_files[sh][j] if k > 1 else files
@@ -573,7 +641,7 @@ def _replay_locked(
                     new_version.get(sh, 1),
                     num_shards,
                     delta_j,
-                    old_files.get(sh, []) if rewrite else [],
+                    fold_paths,
                     pre_salted=k > 1,
                 )
             )
@@ -627,8 +695,9 @@ def _replay_locked(
             key=lambda f: f["salt"],
         )
         old_m = manifests.get(sh)
-        if not rewrite_shard.get(sh, True) and old_m is not None:
-            files = list(old_m["files"]) + files  # append mode: runs accumulate
+        # files the fold kept out of the merge stay in the manifest
+        # (plain append keeps all old runs; full rewrite keeps none)
+        files = keep_map.get(sh, []) + files
         m = {
             "shard": sh,
             "version": int(rows[0]["version"]),
@@ -688,6 +757,10 @@ def _replay_locked(
         "salted_shards": salted,
         "gc_files": removed,
         "quarantined_rows": quarantined_rows,
+        # append-mode shards whose run count crossed compact_runs and
+        # took a size-tiered fold this commit (these commits pay
+        # O(young tiers), not O(delta) — invisible cost otherwise)
+        "shards_auto_compacted": auto_compacted,
         "commit": commit_id,
         "timings": timings,
     }

@@ -691,3 +691,89 @@ def test_validate_lake_variable_length_conv_ids(ray_session, tmp_path):
     v = validate_lake(lake)
     assert v["ok"], v["violations"]
     assert lake_final_table(lake).num_rows == 4
+
+
+def test_tiered_fold_keeps_dominant_base():
+    """Unit: the size-tiered plan folds young runs and keeps the
+    dominant base tier; the run-count budget forces kept tiers back
+    into the fold when they alone would bust ``compact_runs``."""
+    from etl_geodata_pipeline_ray.cdc.replay import _tiered_fold
+
+    def rec(version, salt, nbytes):
+        return {"salt": salt, "path": f"shard=00000/v{version:06d}-s{salt:03d}.parquet",
+                "rows": 1, "bytes": nbytes}
+
+    base = [rec(1, s, 100_000_000) for s in range(2)]  # 200 MB tier
+    runs = [rec(v, 0, 1_000_000) for v in range(2, 9)]  # 7 young 1 MB runs
+    fold, keep = _tiered_fold(base + runs, delta_bytes=1_000_000,
+                              k_new=1, compact_runs=8)
+    assert keep == base  # 200 MB >= 4 x 8 MB: base survives
+    assert fold == runs  # every young run folds
+
+    # young data within ratio of the base -> full fold
+    big_runs = [rec(v, 0, 40_000_000) for v in range(2, 9)]
+    fold2, keep2 = _tiered_fold(base + big_runs, delta_bytes=1_000_000,
+                                k_new=1, compact_runs=8)
+    assert keep2 == [] and len(fold2) == 9
+
+    # run-count budget: an 8-file base + k_new=1 cannot be kept at
+    # compact_runs=8 even though it dominates by size
+    wide_base = [rec(1, s, 100_000_000) for s in range(8)]
+    fold3, keep3 = _tiered_fold(wide_base + runs, delta_bytes=1_000_000,
+                                k_new=1, compact_runs=8)
+    assert keep3 == [] and len(fold3) == 15
+
+
+def test_append_auto_compaction_is_tiered(ray_session, tmp_path):
+    """Integration: drive a shard past ``compact_runs`` with small
+    append commits on top of a big base. The fold commit must (a) keep
+    the base file untouched on disk (same manifest path — the O(shard)
+    rewrite is gone), (b) bring the run count back under the budget,
+    (c) stay oracle-equal."""
+    import json as _json
+
+    from etl_geodata_pipeline_ray.cdc import manifest as mf
+    from etl_geodata_pipeline_ray.cdc.generator import write_wal_parallel
+
+    import shutil
+
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    combined = tmp_path / "combined"
+    combined.mkdir()
+    # chunk 0-2 are the big base tier; later waves are small deltas
+    spec = WalSpec(n_convs=2400, seed=31, dup_rate=0.05, seg_size=100_000)
+    paths = write_wal_parallel(spec, wal, chunk_convs=800, task_cpus=1)
+    for p in paths:
+        shutil.copy(p, combined / p.name)
+    base_paths = paths  # 3 chunks of 300 convs
+    small = WalSpec(n_convs=30, seed=77, dup_rate=0.05, seg_size=100_000)
+    # replay the base first (single big tier)
+    st = replay(wal, lake, num_shards=1, mode="append", compact_runs=6)
+    assert st["committed_segments"] == len(base_paths)
+    base_files = {
+        f["path"] for f in mf.read_all_manifests(lake)[0]["files"]
+    }
+
+    n_folds = 0
+    for w in range(8):  # 8 small commits: budget of 6 must fold twice
+        for p in paths:
+            if p.exists():
+                p.unlink()
+        paths = write_wal_parallel(
+            small, wal, chunk_convs=30, chunk_base=100 + w, task_cpus=1
+        )
+        for p in paths:
+            shutil.copy(p, combined / p.name)
+        st = replay(wal, lake, num_shards=1, mode="append", compact_runs=6)
+        assert st["committed_segments"] == len(paths)
+        m = mf.read_all_manifests(lake)[0]
+        assert len(m["files"]) <= 6
+        if st.get("shards_auto_compacted"):
+            n_folds += 1
+            # the dominant base tier survived the fold untouched
+            assert base_files <= {f["path"] for f in m["files"]}, (
+                "tiered fold rewrote the base"
+            )
+    assert n_folds >= 1
+    assert lake_final_table(lake).equals(oracle_final_state(combined))
