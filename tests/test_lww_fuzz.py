@@ -81,3 +81,52 @@ def test_random_event_log_matches_oracle(ray_session, tmp_path_factory, events, 
         import pandas as pd
 
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(event_strategy, min_size=4, max_size=18),
+    seg_rows=st.integers(1, 5),
+    compact_runs=st.integers(2, 4),
+)
+def test_incremental_append_with_folds_matches_oracle(
+    ray_session, tmp_path_factory, events, seg_rows, compact_runs
+):
+    """Segment-at-a-time append replay with an aggressively small run
+    budget: size-tiered folds fire mid-stream (including over
+    quarantined batches and tombstones), and every prefix must still
+    land on exactly the oracle state."""
+    tmp = tmp_path_factory.mktemp("fuzzfold")
+    wal, lake = tmp / "wal", tmp / "lake"
+    wal.mkdir()
+
+    rows = {k: [] for k in EVENT_SCHEMA.names}
+    for seq, e in enumerate(events):
+        rows["op"].append(e["op"])
+        rows["op_seq"].append(seq)
+        rows["ts"].append(_BASE_TS + e["ts_off"])
+        rows["conv_id"].append(e["conv_id"])
+        rows["turn_idx"].append(e["turn_idx"])
+        is_del = e["op"] == "D"
+        rows["role"].append(None if is_del else "user")
+        rows["text"].append(None if is_del else f"txt-{e['conv_id']}-{e['turn_idx']}-{seq}")
+        rows["tool"].append(None)
+    table = pa.table(rows, schema=EVENT_SCHEMA)
+
+    n_segs = 0
+    for start in range(0, table.num_rows, seg_rows):
+        pq.write_table(table.slice(start, seg_rows), wal / f"seg-{start:012d}.parquet")
+        n_segs += 1
+
+    for i in range(1, n_segs + 1):  # one commit per segment
+        replay(
+            wal, lake, num_shards=2, mode="append",
+            max_segments=i, compact_runs=compact_runs,
+        )
+    eng = lake_final_table(lake)
+    ora = oracle_final_state(wal)
+    assert eng.equals(ora), f"\nengine:\n{eng.to_pandas()}\noracle:\n{ora.to_pandas()}"
