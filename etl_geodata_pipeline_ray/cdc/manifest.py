@@ -95,29 +95,6 @@ def read_all_manifests(lake_dir: str | Path) -> dict[int, dict]:
     return out
 
 
-def write_manifest(
-    lake_dir: str | Path,
-    shard: int,
-    version: int,
-    files: list[str],
-    committed_segments: list[str],
-    rows: int,
-    bytes_: int,
-    lineage: list[dict],
-) -> dict:
-    m = {
-        "shard": shard,
-        "version": version,
-        "files": sorted(files),
-        "committed_segments": sorted(committed_segments),
-        "rows": rows,
-        "bytes": bytes_,
-        "lineage": lineage,
-    }
-    atomic_write_json(m, manifest_path(lake_dir, shard))
-    return m
-
-
 def current_files(lake_dir: str | Path, manifests: dict[int, dict]) -> list[str]:
     lake_dir = Path(lake_dir)
     out = []

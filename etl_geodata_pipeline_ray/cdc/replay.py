@@ -21,11 +21,15 @@ Ray-Data-first dataflow, LSM-shaped (two stages, no sort shuffle):
     the Dataset API adds nothing here (SURVEY §7: "raw tasks only
     where the Dataset API can't express the semantics").
 
-  commit (driver, manifest-last):
-    after ALL stage-B tasks finish, write one manifest per shard
-    (version, files, committed segments, lineage, row/byte metrics).
-    A crash anywhere leaves the old manifests authoritative; orphan
-    delta runs / data files are GC'd on the next replay.
+  commit (driver, manifests first, ONE fsynced log append last):
+    after ALL stage-B tasks finish, write one manifest per TOUCHED
+    shard (version, files, this commit's lineage, row/byte metrics),
+    then append the commit record — with its full segment list — to
+    the append-only commit log. The log append IS the commit point:
+    a crash anywhere before it leaves the segments uncommitted (the
+    re-replay is idempotent under LWW) and orphan delta runs / data
+    files are GC'd on the next replay. Commit metadata is O(batch),
+    written once — never duplicated into all shards' manifests.
 
 Skew defense: salting decisions come from the ACTUAL per-shard delta
 sizes (parquet metadata of the partitioned write — free), not a
@@ -35,9 +39,9 @@ is compacted by k parallel tasks, each owning the sub-keyspace
 a salt boundary, so per-conversation turn ordering survives.
 
 Exactly-once: re-applied segments are harmless (LWW + tombstones);
-files become visible only via manifests; resume diffs committed
-segment names per shard (a missing manifest counts as nothing
-committed).
+files become visible only via manifests; resume diffs segment names
+against the commit log (legacy lakes: against the per-shard lists,
+intersected — a missing manifest counts as nothing committed).
 
 Reference parity: stage boundary on durable storage mirrors staging/ →
 processed/ (``scripts/process_layers.py:50-52``); manifests mirror
@@ -93,20 +97,50 @@ def list_segments(wal_dir: str | Path) -> list[str]:
     return [str(p) for p in sorted(Path(wal_dir).glob("seg-*.parquet"))]
 
 
+def _committed_segment_names(
+    lake_dir: Path, manifests: dict[int, dict], num_shards: int
+) -> set[str]:
+    """The set of WAL segment names durably committed to this lake.
+
+    Current protocol (round 4): the commit LOG is authoritative — each
+    fsynced record carries its commit's full segment list and is
+    appended only AFTER every touched shard manifest is durable, so a
+    logged segment is committed by definition, and commit metadata is
+    written ONCE per commit (O(batch)), not duplicated into all
+    ``num_shards`` manifests and rewritten every commit (O(history) ×
+    shards — the metadata bottleneck at 10^10-event commit cadence:
+    at the 10^9 rung that was ~300 KB × 64 manifests re-serialized
+    per commit).
+
+    Legacy lakes recorded the full list in every shard manifest; a
+    segment counted as committed only when EVERY shard said so. Those
+    frozen lists still count under exactly that intersection rule
+    (manifests never append to them again), so mixed lakes union
+    both sources."""
+    committed: set[str] = set()
+    for rec in commit_log(lake_dir):
+        committed.update(rec.get("segments") or ())
+    if any("committed_segments" in m for m in manifests.values()):
+        legacy: set | None = None
+        for sh in range(num_shards):
+            m = manifests.get(sh)
+            s = set(m.get("committed_segments", ())) if m else set()
+            legacy = s if legacy is None else legacy & s
+            if not legacy:
+                break
+        committed |= legacy or set()
+    return committed
+
+
 def _pending_segments(
-    segments: list[str], manifests: dict[int, dict], num_shards: int
+    segments: list[str],
+    lake_dir: Path,
+    manifests: dict[int, dict],
+    num_shards: int,
 ) -> list[str]:
-    """Segments not committed by every one of the ``num_shards`` shard
-    manifests (a missing manifest counts as nothing committed — covers
-    a crash before that shard's first manifest write)."""
-    committed_by_all: set | None = None
-    for sh in range(num_shards):
-        m = manifests.get(sh)
-        s = set(m["committed_segments"]) if m else set()
-        committed_by_all = s if committed_by_all is None else committed_by_all & s
-        if not committed_by_all:
-            return segments
-    return [p for p in segments if Path(p).name not in committed_by_all]
+    """Segments not recorded committed (``_committed_segment_names``)."""
+    committed = _committed_segment_names(lake_dir, manifests, num_shards)
+    return [p for p in segments if Path(p).name not in committed]
 
 
 def _read_unified(pending: list[str]) -> tuple[ray.data.Dataset, pa.Schema]:
@@ -429,8 +463,8 @@ def replay(
         manifests = mf.read_all_manifests(lake_dir)
         # roll back dead-letter entries from commits that never reached
         # the manifest point — their segments are about to re-replay
-        _rollback_orphan_quarantine(lake_dir, manifests)
-        pending = _pending_segments(segments, manifests, num_shards)
+        _rollback_orphan_quarantine(lake_dir, manifests, num_shards)
+        pending = _pending_segments(segments, lake_dir, manifests, num_shards)
         if not pending:
             return {"committed_segments": 0, "shards_updated": 0, "salted_shards": 0}
 
@@ -649,21 +683,21 @@ def _replay_locked(
     timings["stage_b_merge"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
-    # ---------------- commit: manifest-last, one per shard -------------
+    # ------- commit: manifests first, ONE fsynced log append last -------
     if fence is not None:
         # fencing point: a zombie writer whose lease expired (or was
         # taken over) must abort BEFORE anything becomes visible —
         # nothing above this line touched the commit log or manifests
         fence()
     seg_names = [Path(p).name for p in pending]
-    # Quarantine lands BEFORE the shard manifests (the commit point):
-    # if we crash in between, the segments read as uncommitted, the
-    # re-replay's rollback pass removes this orphan quarantine entry,
-    # and the rows quarantine again — never lost, never double-counted.
+    # Quarantine and shard manifests land BEFORE the commit-log append
+    # (the commit point): crash anywhere in between and the segments
+    # read as uncommitted, the re-replay's rollback pass removes the
+    # orphan quarantine entry, the rows re-route, and LWW makes the
+    # re-applied delta idempotent — never lost, never double-counted.
     quarantined_rows = _commit_quarantine(
         lake_dir, commit_id, quarantine_runs, seg_names
     )
-    _append_commit_log(lake_dir, commit_id, seg_names)
     lineage = [
         {"segment": Path(p).name, "offset_start": mf.segment_offset(p), "commit": commit_id}
         for p in pending
@@ -706,47 +740,30 @@ def _replay_locked(
             "first_commit": (old_m or {}).get("first_commit", commit_id),
             "history": _push_history(old_m, retain_versions),
             "files": files,
-            "committed_segments": sorted(
-                set(old_m["committed_segments"] if old_m else []) | set(seg_names)
-            ),
             "rows": sum(f["rows"] for f in files),
             "bytes": sum(f["bytes"] for f in files),
-            "lineage": (old_m.get("lineage", []) if old_m else []) + lineage,
+            # THIS commit's segment→offset lineage only; full history
+            # is one fsynced commit-log record per commit. (Manifests
+            # used to append every commit's lineage + the full
+            # committed-segment list forever — O(history) JSON
+            # re-serialized per shard per commit.)
+            "lineage": lineage,
         }
-        pending_writes.append(pool.submit(mf.atomic_write_json, m, mf.manifest_path(lake_dir, sh)))
-        new_manifests[sh] = m
-
-    # every shard not updated this commit — including never-seen shards —
-    # still records the segments as committed so resume can prove full
-    # coverage from manifests alone.
-    for sh in range(num_shards):
-        if sh in by_shard:
-            continue
-        old_m = manifests.get(sh)
-        if old_m is not None:
-            m = dict(old_m)
-            m["committed_segments"] = sorted(
-                set(old_m["committed_segments"]) | set(seg_names)
-            )
-        else:
-            m = {
-                "shard": sh,
-                "version": 0,
-                "salt_k": 1,
-                "commit": commit_id,
-                "first_commit": commit_id,
-                "files": [],
-                "committed_segments": sorted(seg_names),
-                "rows": 0,
-                "bytes": 0,
-                "lineage": lineage,
-            }
+        if old_m and "committed_segments" in old_m:
+            # frozen pre-log-protocol bookkeeping, kept verbatim so
+            # legacy segments stay committed under the mixed-lake rule
+            m["committed_segments"] = old_m["committed_segments"]
         pending_writes.append(pool.submit(mf.atomic_write_json, m, mf.manifest_path(lake_dir, sh)))
         new_manifests[sh] = m
 
     for f in pending_writes:
-        f.result()  # commit barrier: every manifest durable before GC
+        f.result()  # barrier: every manifest durable before the commit point
     pool.shutdown()
+    if fence is not None:
+        fence()  # re-check at the REAL commit point: the log append
+    # THE commit point: one O(batch) fsynced record; untouched shards
+    # are never rewritten (previously all num_shards manifests were)
+    _append_commit_log(lake_dir, commit_id, seg_names)
     removed = _gc(lake_dir, new_manifests, keep_incoming=None)
     timings["commit_gc"] = round(_time.perf_counter() - _t0, 3)
     total_rows = sum(m["rows"] for m in new_manifests.values())
@@ -869,21 +886,23 @@ def _push_history(old_m: dict | None, retain_versions: int) -> list[dict]:
 
 def _append_commit_log(lake_dir: Path, commit_id: str, segments: list[str]) -> None:
     """Ordered commit log (``_manifests/_commits.jsonl``) — the global
-    ordering ``read_lake(at_commit=...)`` resolves against. Appended
-    under the lake lock BEFORE the shard manifests land, so a logged
-    commit that crashed pre-manifest reads as an empty commit (state
-    unchanged at that point in the order) instead of an unknown id.
-    APPEND-ONLY JSONL on purpose: one O(1) fsynced line per commit —
-    never a rewrite of the whole history, which would make commit cost
-    grow with commit count at 10^10-event cadence. Per-commit segment
-    detail lives in the shard manifests' lineage; the log keeps the
-    offset range only."""
+    ordering ``read_lake(at_commit=...)`` resolves against, and since
+    round 4 THE commit point: appended (fsynced) only AFTER every
+    touched shard manifest is durable, carrying the commit's full
+    segment list — so segment-committed state is recorded exactly
+    once, O(batch) per commit, instead of being duplicated into all
+    shard manifests and re-serialized forever. APPEND-ONLY JSONL on
+    purpose: never a rewrite of history, which would make commit cost
+    grow with commit count at 10^10-event cadence. (Total log size is
+    O(total segments) — ~30 bytes per 500k-row segment, read once per
+    replay/stats call, not per commit per shard.)"""
     p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.jsonl"
     rec = {
         "commit": commit_id,
         "n_segments": len(segments),
         "first_segment": min(segments) if segments else None,
         "last_segment": max(segments) if segments else None,
+        "segments": sorted(segments),
     }
     with open(p, "ab") as f:
         lead = b""
@@ -907,14 +926,17 @@ def commit_log(lake_dir: str | Path) -> list[dict]:
     the manifests either, so it does not exist; later appends seal the
     fragment onto its own line, so records after it stay readable.
 
-    Phantom demotion (ADVICE r3): a record that reached the log but
-    whose writer crashed before any shard manifest landed claims
-    segments that the resumed replay re-committed under a later id.
-    Real commits consume disjoint, monotonically increasing segment
-    ranges, so any record whose range reaches into a LATER record's
-    range is such a phantom — it is reported as the empty commit it
-    effectively is (``n_segments`` 0, ``phantom`` True), never with
-    segment metadata that lies to log consumers."""
+    Phantom demotion — LEGACY records only (written before round 4's
+    log-is-the-commit-point protocol, when the log was appended BEFORE
+    the manifests): such a record may claim segments a resumed replay
+    re-committed under a later id. Legacy commits consumed
+    monotonically increasing segment ranges, so a legacy record whose
+    range reaches into a LATER record's range is a phantom — reported
+    as the empty commit it effectively is (``n_segments`` 0,
+    ``phantom`` True). Records carrying a ``segments`` list are
+    post-manifest appends and therefore authoritative — never demoted
+    (which also makes genuinely out-of-order stream slices, e.g. wave
+    7 delivered before wave 6, safe from false demotion)."""
     p = Path(lake_dir) / mf.MANIFEST_DIR / "_commits.jsonl"
     if not p.exists():
         return []
@@ -933,7 +955,8 @@ def commit_log(lake_dir: str | Path) -> list[dict]:
             continue
         first, last = rec.get("first_segment"), rec.get("last_segment")
         if (
-            earliest_later_first is not None
+            "segments" not in rec
+            and earliest_later_first is not None
             and last is not None
             and last >= earliest_later_first
         ):
@@ -1055,20 +1078,18 @@ def _quarantine_manifests(lake_dir: Path) -> list[dict]:
     return out
 
 
-def _rollback_orphan_quarantine(lake_dir: Path, manifests: dict[int, dict]) -> int:
-    """Remove quarantine entries whose commit never reached the shard
-    manifests (crash between quarantine landing and the commit point).
-    Their segments read as uncommitted, so the caller is about to
-    re-replay them — the rows will quarantine again under the new
-    commit. Runs under the lake lock."""
-    committed: set[str] | None = None
-    for m in manifests.values():
-        s = set(m["committed_segments"])
-        committed = s if committed is None else (committed & s)
-    committed = committed or set()
+def _rollback_orphan_quarantine(
+    lake_dir: Path, manifests: dict[int, dict], num_shards: int
+) -> int:
+    """Remove quarantine entries whose commit never reached the commit
+    point (crash between quarantine landing and the commit-log
+    append). Their segments read as uncommitted, so the caller is
+    about to re-replay them — the rows will quarantine again under the
+    new commit. Runs under the lake lock."""
+    committed = _committed_segment_names(lake_dir, manifests, num_shards)
     removed = 0
     for rec in _quarantine_manifests(lake_dir):
-        if manifests and set(rec["segments"]) <= committed:
+        if rec["segments"] and set(rec["segments"]) <= committed:
             continue
         shutil.rmtree(
             Path(lake_dir) / _QUARANTINE / f"commit={rec['commit']}",
@@ -1169,14 +1190,15 @@ def lake_stats(lake_dir: str | Path) -> dict:
     manifests = mf.read_all_manifests(lake_dir)
     qrecs = _quarantine_manifests(lake_dir)
     log = commit_log(lake_dir)
-    seg_sets = [set(m["committed_segments"]) for m in manifests.values()]
-    fully_committed = set.intersection(*seg_sets) if seg_sets else set()
-    run_counts = [len(m["files"]) for m in manifests.values()]
     meta = {}
     meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
     if meta_path.exists():
         with open(meta_path) as f:
             meta = json.load(f)
+    fully_committed = _committed_segment_names(
+        lake_dir, manifests, meta.get("num_shards", len(manifests))
+    )
+    run_counts = [len(m["files"]) for m in manifests.values()]
     return {
         "num_shards": meta.get("num_shards", len(manifests)),
         "retain_versions": meta.get("retain_versions", 1),

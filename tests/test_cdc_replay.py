@@ -51,20 +51,25 @@ def test_replay_is_idempotent(ray_session, tmp_path):
 
 
 def test_crash_restart_partial_commit(ray_session, tmp_path):
-    """Apply half the WAL, then 'crash' by deleting one shard's manifest
-    (simulating a crash before that shard's manifest write) and leaving
-    its orphan data files; resume must converge to the oracle state."""
+    """Apply half the WAL, then 'crash' in the torn window of the
+    commit protocol — shard manifests durable but the commit-log
+    append (THE commit point) never landed — by stripping the last log
+    record. The segments must read as uncommitted, re-replay
+    idempotently, and converge to the oracle state."""
     spec = SCENARIOS["everything"]
     wal = tmp_path / "wal"
     lake = tmp_path / "lake"
     segs = write_wal(spec, wal, overwrite=True)
     assert len(segs) >= 3
-    replay(wal, lake, num_shards=8, max_segments=len(segs) // 2)
+    st1 = replay(wal, lake, num_shards=8, max_segments=len(segs) // 2)
+    assert st1["committed_segments"] == len(segs) // 2
 
-    # torn commit: shard 3's manifest never landed
-    (lake / "_manifests" / "shard-00003.json").unlink()
+    log = lake / "_manifests" / "_commits.jsonl"
+    lines = log.read_bytes().splitlines(keepends=True)
+    log.write_bytes(b"".join(lines[:-1]))  # the commit never happened
 
-    replay(wal, lake, num_shards=8)
+    st2 = replay(wal, lake, num_shards=8)
+    assert st2["committed_segments"] == len(segs)  # torn batch re-replayed
     assert lake_final_table(lake).equals(oracle_final_state(wal))
 
 
@@ -777,3 +782,64 @@ def test_append_auto_compaction_is_tiered(ray_session, tmp_path):
             )
     assert n_folds >= 1
     assert lake_final_table(lake).equals(oracle_final_state(combined))
+
+
+def test_legacy_manifest_bookkeeping_still_counts(ray_session, tmp_path):
+    """Mixed-lake back-compat: a lake whose committed segments were
+    recorded the pre-round-4 way (full list in EVERY shard manifest,
+    range-only log records) must keep those segments committed when a
+    current-protocol replay continues the stream — new segments land
+    via the log, old ones are never re-replayed."""
+    import json as _json
+
+    spec = SCENARIOS["everything"]
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    segs = write_wal(spec, wal, overwrite=True)
+    half = len(segs) // 2
+    replay(wal, lake, num_shards=2, max_segments=half)
+
+    # legacy-ify the metadata: move the committed list into every
+    # shard manifest, strip the segments key from the log records
+    names = sorted(p.name for p in segs[:half])
+    for sh in range(2):
+        mp = lake / "_manifests" / f"shard-{sh:05d}.json"
+        m = _json.loads(mp.read_text())
+        m["committed_segments"] = names
+        mp.write_text(_json.dumps(m))
+    log = lake / "_manifests" / "_commits.jsonl"
+    recs = [_json.loads(x) for x in log.read_text().splitlines() if x.strip()]
+    for r in recs:
+        r.pop("segments", None)
+    log.write_text("".join(_json.dumps(r) + "\n" for r in recs))
+
+    st = replay(wal, lake, num_shards=2)
+    assert st["committed_segments"] == len(segs) - half  # legacy half skipped
+    assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_manifest_metadata_stays_bounded(ray_session, tmp_path):
+    """Commit metadata must be O(current state), not O(history): after
+    many commits a shard manifest carries no committed-segment list
+    and only the LAST commit's lineage entries — the full history
+    lives in the append-only commit log (one record per commit)."""
+    import json as _json
+
+    spec = SCENARIOS["everything"]
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    segs = write_wal(spec, wal, overwrite=True)
+    assert len(segs) >= 4
+    for i in range(1, len(segs) + 1):  # one commit per segment
+        replay(wal, lake, num_shards=2, mode="append", max_segments=i)
+
+    m = _json.loads((lake / "_manifests" / "shard-00000.json").read_text())
+    assert "committed_segments" not in m
+    assert {e["commit"] for e in m["lineage"]} == {m["commit"]}
+    from etl_geodata_pipeline_ray.cdc.replay import commit_log
+
+    log = commit_log(lake)
+    assert sum(r["n_segments"] for r in log) == len(segs)
+    assert sorted(n for r in log for n in r["segments"]) == sorted(
+        p.name for p in segs
+    )

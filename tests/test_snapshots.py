@@ -419,19 +419,30 @@ def test_merge_key_predicate_pushes_to_lsm_scan(ray_session, tmp_path):
 
 
 def test_commit_log_phantom_demoted(ray_session, tmp_path):
-    """A commit-log record whose writer crashed before any manifest
-    landed (ADVICE r3) claims segments the resumed replay re-commits;
-    commit_log must demote it to an empty commit instead of reporting
-    segment metadata that lies to n_segments-filtering consumers."""
-    from etl_geodata_pipeline_ray.cdc.replay import _append_commit_log, commit_log
+    """LEGACY phantom demotion (ADVICE r3): before round 4 the log was
+    appended BEFORE the manifests, so a pre-manifest crash left a
+    record claiming segments the resumed replay re-committed later.
+    Such legacy-shaped records (no ``segments`` list) must demote to
+    empty commits. Records written by the current protocol carry the
+    list, are appended after the manifests, and are never demoted —
+    asserted on the genuine commits below."""
+    import json as _json
+
+    from etl_geodata_pipeline_ray.cdc.replay import commit_log, lake_final_table
 
     wal, lake = tmp_path / "wal", tmp_path / "lake"
     write_wal(SPEC, wal, overwrite=True)
     segs = [p.name for p in sorted(wal.glob("seg-*.parquet"))]
     assert len(segs) >= 3
     replay(wal, lake, num_shards=8, mode="append", max_segments=2)
-    # simulate: log appended for the remaining segments, crash pre-manifest
-    _append_commit_log(lake, "deadbeefphantom", segs[2:])
+    # a legacy writer's pre-manifest crash: range-only record, no
+    # segments list (the current protocol cannot produce this state —
+    # the log append IS the commit point now)
+    with open(lake / "_manifests" / "_commits.jsonl", "a") as f:
+        f.write(_json.dumps({
+            "commit": "deadbeefphantom", "n_segments": len(segs[2:]),
+            "first_segment": segs[2], "last_segment": segs[-1],
+        }) + "\n")
     # resume re-commits those segments under a fresh id
     replay(wal, lake, num_shards=8, mode="append")
     log = commit_log(lake)
@@ -440,7 +451,5 @@ def test_commit_log_phantom_demoted(ray_session, tmp_path):
     assert ph[0]["first_segment"] is None and ph[0]["last_segment"] is None
     real = [e for e in log if e["n_segments"]]
     assert len(real) == 2  # the two genuine data commits survive intact
-    # and the final table is still oracle-equal
-    from etl_geodata_pipeline_ray.cdc.replay import lake_final_table
-
+    assert not any(e.get("phantom") for e in real)
     assert lake_final_table(lake).equals(oracle_final_state(wal))
