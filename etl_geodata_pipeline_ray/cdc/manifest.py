@@ -95,31 +95,6 @@ def read_all_manifests(lake_dir: str | Path) -> dict[int, dict]:
     return out
 
 
-def current_files(lake_dir: str | Path, manifests: dict[int, dict]) -> list[str]:
-    lake_dir = Path(lake_dir)
-    out = []
-    for m in manifests.values():
-        out.extend(str(lake_dir / f) for f in m["files"])
-    return sorted(out)
-
-
-def gc_stale_files(lake_dir: str | Path, manifests: dict[int, dict]) -> int:
-    """Delete shard data files not referenced by any current manifest
-    (old versions, orphans of interrupted commits). Safe because a file
-    becomes visible only via a manifest."""
-    lake_dir = Path(lake_dir)
-    live = {str(lake_dir / f) for m in manifests.values() for f in m["files"]}
-    removed = 0
-    for p in lake_dir.glob("shard=*/**/*.parquet"):
-        if str(p) not in live:
-            try:
-                p.unlink()
-                removed += 1
-            except OSError:
-                pass
-    return removed
-
-
 def segment_offset(path: str | Path) -> int:
     """``seg-{start:012d}.parquet`` → start offset."""
     name = Path(path).name

@@ -132,14 +132,8 @@ def _committed_segment_names(
     return committed
 
 
-def _pending_segments(
-    segments: list[str],
-    lake_dir: Path,
-    manifests: dict[int, dict],
-    num_shards: int,
-) -> list[str]:
+def _pending_segments(segments: list[str], committed: set[str]) -> list[str]:
     """Segments not recorded committed (``_committed_segment_names``)."""
-    committed = _committed_segment_names(lake_dir, manifests, num_shards)
     return [p for p in segments if Path(p).name not in committed]
 
 
@@ -238,8 +232,13 @@ def _merge_mem_bytes(delta_disk: int, base_disk: int, k: int, max_base_file: int
 
 def _file_version(path: str) -> int:
     """Commit-version tier of a lake file ("shard=00001/v000012-s003
-    .parquet" → 12): files written by one commit form one tier."""
-    return int(path.rsplit("/", 1)[-1][1:7])
+    .parquet" → 12): files written by one commit form one tier.
+    Parsed up to the salt separator — ``:06d`` is a MINIMUM width, so
+    versions past 999,999 (plausible at 10^10-event commit cadence)
+    render wider and a fixed [1:7] slice would collapse distinct
+    tiers."""
+    name = path.rsplit("/", 1)[-1]
+    return int(name[1 : name.index("-")])
 
 
 def _tiered_fold(
@@ -266,7 +265,13 @@ def _tiered_fold(
 
     Post-commit run count is forced ≤ ``compact_runs``: if the kept
     tiers alone would exceed the budget (many salted base files), the
-    smallest kept tiers are folded too."""
+    smallest kept tiers are folded too.
+
+    ``delta_bytes`` arrives as the UNCOMPRESSED pre-commit delta run
+    (compression="NONE"), while tier sizes are snappy+dictionary lake
+    files — compared raw, the delta would weigh ~3× its lake-resident
+    size and fold the base earlier than the ratio intends; it is
+    normalized by ``_PARQ_EXPANSION`` first."""
     groups: dict[int, list[dict]] = {}
     for f in old_recs:
         groups.setdefault(_file_version(f["path"]), []).append(f)
@@ -274,7 +279,7 @@ def _tiered_fold(
         ((sum(int(f["bytes"]) for f in g), g) for g in groups.values()),
         key=lambda t: -t[0],
     )
-    total = delta_bytes + sum(b for b, _ in sized)
+    total = delta_bytes / _PARQ_EXPANSION + sum(b for b, _ in sized)
     keep_groups: list[list[dict]] = []
     kept_files = 0
     for b, g in sized:
@@ -463,8 +468,11 @@ def replay(
         manifests = mf.read_all_manifests(lake_dir)
         # roll back dead-letter entries from commits that never reached
         # the manifest point — their segments are about to re-replay
-        _rollback_orphan_quarantine(lake_dir, manifests, num_shards)
-        pending = _pending_segments(segments, lake_dir, manifests, num_shards)
+        # ONE log parse + legacy intersection per replay, shared by the
+        # rollback pass and the pending computation
+        committed = _committed_segment_names(lake_dir, manifests, num_shards)
+        _rollback_orphan_quarantine(lake_dir, committed)
+        pending = _pending_segments(segments, committed)
         if not pending:
             return {"committed_segments": 0, "shards_updated": 0, "salted_shards": 0}
 
@@ -949,27 +957,29 @@ def commit_log(lake_dir: str | Path) -> list[dict]:
                 out.append(json.loads(line))
             except ValueError:
                 continue  # torn fragment: skip, keep reading
-    earliest_later_first = None
+    # exact interval test, not a watermark: a legacy record is a
+    # phantom iff some LATER record's range INTERSECTS its range (its
+    # claimed segments were re-committed). A later record that merely
+    # starts below it (an out-of-order stream slice, e.g. wave 7
+    # delivered before wave 6) must not demote it. O(n·legacy) over
+    # the in-memory list — legacy records are a bounded pre-upgrade
+    # prefix.
+    later: list[tuple[str, str]] = []
     for rec in reversed(out):
         if not rec.get("n_segments"):
             continue
         first, last = rec.get("first_segment"), rec.get("last_segment")
         if (
             "segments" not in rec
-            and earliest_later_first is not None
-            and last is not None
-            and last >= earliest_later_first
+            and first is not None
+            and any(f2 <= last and l2 >= first for f2, l2 in later)
         ):
             rec.update(
                 n_segments=0, first_segment=None, last_segment=None, phantom=True
             )
             continue
         if first is not None:
-            earliest_later_first = (
-                first
-                if earliest_later_first is None
-                else min(earliest_later_first, first)
-            )
+            later.append((first, last))
     return out
 
 
@@ -981,12 +991,21 @@ def _snapshot_manifests(
     shard's retained history (detectable via the shard's
     ``first_commit``: created-later shards are legitimately empty,
     expired ones are an error, never a silent wrong answer)."""
+    import math
+
     ranks = {e["commit"]: i for i, e in enumerate(commit_log(lake_dir))}
     if at_commit not in ranks:
         raise ValueError(
             f"unknown commit {at_commit!r}; see commit_log() for valid ids"
         )
     target = ranks[at_commit]
+    # A manifest commit id ABSENT from the log is a torn-window write:
+    # manifests land BEFORE the log append (the commit point), so an
+    # unlogged entry is NEWER than every logged commit and must never
+    # be served as any logged commit's state (it is uncommitted until
+    # the recovery replay re-lands it under a logged id). Rank +inf —
+    # excluded from every time-travel target.
+    unlogged = math.inf
     out: dict[int, dict] = {}
     for sh, m in manifests.items():
         entries = [
@@ -999,13 +1018,15 @@ def _snapshot_manifests(
         ] + m.get("history", [])
         best, best_rank = None, -2
         for e in entries:
-            r = ranks.get(e.get("commit"), -1)  # pre-log manifests: oldest
+            r = ranks.get(e.get("commit"), unlogged)
             if r <= target and r > best_rank:
                 best, best_rank = e, r
         if best is None:
             first = m.get("first_commit")
-            if first is not None and ranks.get(first, -1) > target:
-                continue  # shard created after at_commit: empty then
+            if first is not None and ranks.get(first, unlogged) > target:
+                # shard created after at_commit (or by a torn,
+                # not-yet-recovered commit): empty at that point
+                continue
             raise ValueError(
                 f"commit {at_commit!r} is older than shard {sh}'s retained "
                 f"history (retain_versions; see expire_snapshots)"
@@ -1078,15 +1099,13 @@ def _quarantine_manifests(lake_dir: Path) -> list[dict]:
     return out
 
 
-def _rollback_orphan_quarantine(
-    lake_dir: Path, manifests: dict[int, dict], num_shards: int
-) -> int:
+def _rollback_orphan_quarantine(lake_dir: Path, committed: set[str]) -> int:
     """Remove quarantine entries whose commit never reached the commit
     point (crash between quarantine landing and the commit-log
     append). Their segments read as uncommitted, so the caller is
     about to re-replay them — the rows will quarantine again under the
-    new commit. Runs under the lake lock."""
-    committed = _committed_segment_names(lake_dir, manifests, num_shards)
+    new commit. Runs under the lake lock; ``committed`` is the
+    caller's already-derived ``_committed_segment_names`` set."""
     removed = 0
     for rec in _quarantine_manifests(lake_dir):
         if rec["segments"] and set(rec["segments"]) <= committed:

@@ -453,3 +453,76 @@ def test_commit_log_phantom_demoted(ray_session, tmp_path):
     assert len(real) == 2  # the two genuine data commits survive intact
     assert not any(e.get("phantom") for e in real)
     assert lake_final_table(lake).equals(oracle_final_state(wal))
+
+
+def test_torn_commit_invisible_to_time_travel(ray_session, tmp_path):
+    """A manifest entry whose commit id never reached the log (the
+    torn window: manifests durable, crash before the commit-point
+    append) is UNCOMMITTED — time travel must never serve its files.
+    With retention=1 and only the torn entry retained, resolving the
+    earlier commit must raise (never a silent future-data answer)."""
+    import pytest as _pytest
+
+    from etl_geodata_pipeline_ray.cdc.replay import commit_log, lake_final_table
+
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    segs = write_wal(SPEC, wal, overwrite=True)
+    assert len(segs) >= 2
+    replay(wal, lake, num_shards=2, mode="append", max_segments=1,
+           retain_versions=1)
+    c_a = commit_log(lake)[-1]["commit"]
+    replay(wal, lake, num_shards=2, mode="append", retain_versions=1)
+
+    log = lake / "_manifests" / "_commits.jsonl"
+    lines = log.read_bytes().splitlines(keepends=True)
+    log.write_bytes(b"".join(lines[:-1]))  # commit B tore pre-log-append
+
+    with _pytest.raises(ValueError, match="retained history"):
+        lake_final_table(lake, at_commit=c_a)
+    # recovery re-lands the batch under a logged id; A is gone from
+    # retention (retain_versions=1) so the raise persists, but the
+    # RECOVERED head must resolve fine and equal the full oracle
+    replay(wal, lake, num_shards=2, mode="append", retain_versions=1)
+    head = commit_log(lake)[-1]["commit"]
+    assert lake_final_table(lake, at_commit=head).equals(oracle_final_state(wal))
+
+
+def test_phantom_demotion_requires_range_intersection(tmp_path):
+    """A later out-of-order commit (lower-named segments — wave 7
+    delivered before wave 6) must NOT demote an earlier genuine legacy
+    record; only a later record that re-commits INTO the legacy range
+    marks it phantom."""
+    import json as _json
+
+    from etl_geodata_pipeline_ray.cdc.replay import commit_log
+
+    mdir = tmp_path / "_manifests"
+    mdir.mkdir(parents=True)
+    recs = [
+        # genuine legacy commit (pre-round-4 shape: no segments list)
+        {"commit": "legacyaaaa", "n_segments": 2,
+         "first_segment": "seg-000000000010.parquet",
+         "last_segment": "seg-000000000019.parquet"},
+        # later, legitimately out-of-order slice BELOW the legacy range
+        {"commit": "oooslice", "n_segments": 1,
+         "first_segment": "seg-000000000005.parquet",
+         "last_segment": "seg-000000000005.parquet",
+         "segments": ["seg-000000000005.parquet"]},
+        # true phantom: legacy claim whose range a later record re-commits
+        {"commit": "legacybbbb", "n_segments": 1,
+         "first_segment": "seg-000000000030.parquet",
+         "last_segment": "seg-000000000039.parquet"},
+        {"commit": "recommit", "n_segments": 1,
+         "first_segment": "seg-000000000030.parquet",
+         "last_segment": "seg-000000000039.parquet",
+         "segments": ["seg-000000000030.parquet"]},
+    ]
+    (mdir / "_commits.jsonl").write_text(
+        "".join(_json.dumps(r) + "\n" for r in recs)
+    )
+    log = {r["commit"]: r for r in commit_log(tmp_path)}
+    assert not log["legacyaaaa"].get("phantom")  # out-of-order slice is innocent
+    assert log["legacyaaaa"]["n_segments"] == 2
+    assert log["legacybbbb"].get("phantom") is True
+    assert not log["oooslice"].get("phantom")
+    assert not log["recommit"].get("phantom")
