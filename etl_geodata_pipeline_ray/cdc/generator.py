@@ -444,13 +444,6 @@ def write_wal_parallel(
     """
     import ray
 
-    wal_dir = Path(wal_dir)
-    if wal_dir.exists():
-        if not overwrite and any(wal_dir.glob("seg-*.parquet")):
-            return sorted(wal_dir.glob("seg-*.parquet"))
-        shutil.rmtree(wal_dir)
-    wal_dir.mkdir(parents=True)
-
     from dataclasses import replace
 
     # statistical upper bound on delivered rows per chunk: ~3.5x the
@@ -465,6 +458,28 @@ def write_wal_parallel(
         * (1.0 + spec.dup_rate)
     )
     stride = chunk_convs * max(64, int(3.5 * mu))
+
+    wal_dir = Path(wal_dir)
+    n_chunks = -(-spec.n_convs // chunk_convs)
+    lo, hi = chunk_base * stride, (chunk_base + n_chunks) * stride
+    if wal_dir.exists():
+        existing = sorted(wal_dir.glob("seg-*.parquet"))
+        if not overwrite and existing:
+            # the resume cache must belong to THIS wave: a wave-style
+            # caller that crashed between replay and GC would otherwise
+            # get the PREVIOUS wave's segments back and silently never
+            # generate the requested slice of the stream
+            offs = [int(p.name[4:16]) for p in existing]
+            if min(offs) >= lo and max(offs) < hi:
+                return existing
+            raise ValueError(
+                f"{wal_dir} holds segments at offsets "
+                f"[{min(offs)}, {max(offs)}] outside this call's range "
+                f"[{lo}, {hi}) (chunk_base={chunk_base}); GC the old "
+                "wave's committed segments first or pass overwrite=True"
+            )
+        shutil.rmtree(wal_dir)
+    wal_dir.mkdir(parents=True)
     task = ray.remote(num_cpus=task_cpus)(_chunk_task)
     refs = []
     ci = chunk_base

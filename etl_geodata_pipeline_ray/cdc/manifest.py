@@ -227,6 +227,7 @@ class LeaseLock:
         self.epoch: int | None = None
         self.path: Path | None = None
         self._hb_stop = None
+        self._hb_thread = None
 
     def _scan(self) -> tuple[int, dict | None]:
         mx, rec = -1, None
@@ -239,7 +240,16 @@ class LeaseLock:
                 try:
                     rec = json.loads(p.read_text())
                 except (OSError, ValueError):
-                    rec = {}
+                    # the O_EXCL create and the record write are two
+                    # steps: an empty/partial newest lease is a holder
+                    # mid-acquire, NOT an expired one — treat it as
+                    # live since the file's mtime so a contender can't
+                    # fence a holder that acquired milliseconds ago
+                    try:
+                        beat = p.stat().st_mtime
+                    except OSError:
+                        beat = 0.0
+                    rec = {"heartbeat_ts": beat, "holder": "initializing"}
                 mx = e
         return mx, rec
 
@@ -281,12 +291,26 @@ class LeaseLock:
             json.dump(self._rec(), f)
             f.flush()
             os.fsync(f.fileno())
+        # GC only epochs STRICTLY BELOW our own. Unlinking a HIGHER
+        # epoch would un-burn it: a contender stalled since before that
+        # epoch was claimed could then O_EXCL-create it again and
+        # believe itself max — two live holders. (The O_EXCL create is
+        # only a CAS while claimed epoch files persist.)
         for p in self.dir.glob("_lease-*.json"):
-            if p != self.path:
-                try:
+            try:
+                if int(p.stem.split("-")[1]) < self.epoch:
                     p.unlink()
-                except OSError:
-                    pass
+            except (OSError, IndexError, ValueError):
+                pass
+        # post-create verification: if a higher epoch appeared while we
+        # were acquiring (we stalled between scan and create), we are
+        # already fenced — fail the acquire instead of running doomed
+        mx2, _ = self._scan()
+        if mx2 != self.epoch:
+            self.epoch = self.path = None
+            raise LakeLockedError(
+                f"lease epoch superseded during acquire (saw {mx2})"
+            )
         if self.auto_heartbeat:
             import threading
 
@@ -298,8 +322,11 @@ class LeaseLock:
                         self.heartbeat()
                     except LeaseFencedError:
                         return
+                    except OSError:
+                        continue  # transient store hiccup: retry next tick
 
-            threading.Thread(target=beat, daemon=True).start()
+            self._hb_thread = threading.Thread(target=beat, daemon=True)
+            self._hb_thread.start()
         return self
 
     def heartbeat(self) -> None:
@@ -328,6 +355,13 @@ class LeaseLock:
     def __exit__(self, *exc):
         if self._hb_stop is not None:
             self._hb_stop.set()
+            # join the beat thread so an in-flight heartbeat cannot
+            # overwrite the zeroed release record (which would make the
+            # released lease look live for a full ttl), or race the
+            # path=None teardown below
+            t = getattr(self, "_hb_thread", None)
+            if t is not None:
+                t.join(timeout=self.ttl_s)
         if self.epoch is None:
             return
         try:

@@ -1252,7 +1252,7 @@ def _predicate_fields(predicate, schema: pa.Schema) -> set[str]:
     return refs
 
 
-def _plan_predicate(predicate, columns: list[str] | None):
+def _plan_predicate(predicate):
     """Predicate plan for the multi-run (LSM) read path.
 
     Returns ``(scan_filter, post_filter, extra_cols)``:
@@ -1365,7 +1365,7 @@ def read_lake(
         sum(int(f["bytes"]) for f in m["files"]) for m in manifests.values()
     )
     mem = _merge_mem_bytes(0, max_shard_bytes, 1, 0)
-    scan_filter, post_filter, pred_cols = _plan_predicate(predicate, columns)
+    scan_filter, post_filter, pred_cols = _plan_predicate(predicate)
     need_mr = (
         sorted(
             set(columns) | {"conv_id", "turn_idx", "ts", "op_seq", "op"} | pred_cols

@@ -28,12 +28,25 @@ def clean_read_schema(path, columns: list[str] | None = None) -> pa.Schema | Non
     stripped. ``None`` when the footer can't be probed (directory /
     remote glob) or a requested column is absent — callers then fall
     back to a plain read."""
-    probe = path if isinstance(path, (str, Path)) else path[0]
     try:
-        full = pq.read_schema(probe)
+        if isinstance(path, (str, Path)):
+            full = pq.read_schema(path)
+        else:
+            # multi-file input: probing only file[0] would DECLARE that
+            # file's schema for the whole read and silently drop
+            # late-added columns from schema-evolved files. Unify every
+            # footer (metadata-only) when the list is small; otherwise
+            # fall back to a plain read (Ray unifies lazily itself).
+            if len(path) > 64:
+                return None
+            schemas = [pq.read_schema(p) for p in path]
+            full = pa.unify_schemas(
+                [s.remove_metadata() for s in schemas],
+                promote_options="permissive",
+            )
         names = columns if columns is not None else full.names
         return pa.schema([full.field(n).remove_metadata() for n in names])
-    except (OSError, KeyError):
+    except (OSError, KeyError, pa.ArrowInvalid, pa.ArrowTypeError):
         return None
 
 

@@ -500,27 +500,34 @@ def q19_table_stats(sf_dir: str) -> pd.DataFrame:
     that is too big)."""
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice"])
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    # ONE explicit Arrow schema for both branches: a pandas-built empty
+    # frame infers different types than the value-built one (us-vs-ns
+    # timestamps, null-vs-binary supp) and block-schema divergence is
+    # exactly what this file's read hygiene exists to avoid
+    part_schema = pa.schema(
+        [
+            pa.field("n_rows", pa.int64()),
+            pa.field("first_ship", pa.timestamp("us")),
+            pa.field("last_ship", pa.timestamp("us")),
+            pa.field("total_price", pa.float64()),
+            pa.field("supp", pa.binary()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             # an empty block's min/max would be None and poison the fold
-            return pd.DataFrame(
-                {
-                    "n_rows": pd.Series([], dtype="int64"),
-                    "first_ship": pd.Series([], dtype="datetime64[us]"),
-                    "last_ship": pd.Series([], dtype="datetime64[us]"),
-                    "total_price": pd.Series([], dtype="float64"),
-                    "supp": pd.Series([], dtype=object),
-                }
-            )
+            return part_schema.empty_table()
         supp = np.unique(t["l_suppkey"].to_numpy(zero_copy_only=False))
-        return pd.DataFrame(
+        return pa.table(
             {
                 "n_rows": [t.num_rows],
                 "first_ship": [pc.min(t["l_shipdate"]).as_py()],
                 "last_ship": [pc.max(t["l_shipdate"]).as_py()],
                 "total_price": [pc.sum(t["l_extendedprice"]).as_py()],
                 "supp": [supp.astype(np.int64).tobytes()],
-            }
+            },
+            schema=part_schema,
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()

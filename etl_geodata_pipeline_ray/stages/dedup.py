@@ -35,10 +35,6 @@ import ray.data
 _HASH_KEY = "graftdedup-hash0"
 
 
-def _hash_texts(texts: pd.Series) -> np.ndarray:
-    return pd.util.hash_array(texts.to_numpy(dtype=object), hash_key=_HASH_KEY)
-
-
 def exact_dedup(
     ds: ray.data.Dataset,
     text_col: str = "text",

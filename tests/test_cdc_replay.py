@@ -843,3 +843,77 @@ def test_manifest_metadata_stays_bounded(ray_session, tmp_path):
     assert sorted(n for r in log for n in r["segments"]) == sorted(
         p.name for p in segs
     )
+
+
+def test_lease_acquire_never_unburns_higher_epochs(tmp_path):
+    """A contender that stalled between its scan and its O_EXCL create
+    may claim an epoch BELOW one that meanwhile went live. It must (a)
+    never unlink the higher (live) epoch file — un-burning epochs
+    would let two holders coexist — and (b) detect the supersession at
+    acquire time and fail."""
+    import json as _json
+
+    from etl_geodata_pipeline_ray.cdc import manifest as mf
+
+    lake = tmp_path / "lake"
+    (lake / mf.MANIFEST_DIR).mkdir(parents=True)
+    live = lake / mf.MANIFEST_DIR / "_lease-0000000006.json"
+    live.write_text(_json.dumps({
+        "epoch": 6, "holder": "successor", "pid": 1,
+        "heartbeat_ts": __import__("time").time(), "ttl_s": 300,
+    }))
+
+    lk = mf.LeaseLock(lake, ttl_s=30, auto_heartbeat=False)
+    real_scan, calls = lk._scan, []
+
+    def stale_then_real():
+        if not calls:  # the stale pre-create scan: an expired epoch 4
+            calls.append(1)
+            return 4, {"heartbeat_ts": 0, "ttl_s": 30}
+        return real_scan()
+
+    lk._scan = stale_then_real
+    import pytest as _pytest
+
+    with _pytest.raises(mf.LakeLockedError, match="superseded"):
+        lk.__enter__()
+    assert live.exists(), "acquire GC unlinked a HIGHER live epoch"
+    assert lk.epoch is None
+
+
+def test_lease_mid_acquire_empty_file_reads_live(tmp_path):
+    """The O_EXCL create and the record write are two steps; a
+    contender scanning in between sees an empty newest lease and must
+    treat it as a live holder (mtime-fresh), not an expired one."""
+    import pytest as _pytest
+
+    from etl_geodata_pipeline_ray.cdc import manifest as mf
+
+    lake = tmp_path / "lake"
+    (lake / mf.MANIFEST_DIR).mkdir(parents=True)
+    (lake / mf.MANIFEST_DIR / "_lease-0000000003.json").write_text("")
+    with _pytest.raises(mf.LakeLockedError, match="held by"):
+        mf.LeaseLock(lake, ttl_s=60, auto_heartbeat=False).__enter__()
+
+
+def test_wave_cache_refuses_stale_wave(ray_session, tmp_path):
+    """write_wal_parallel's resume cache must belong to the REQUESTED
+    wave: leftovers from a previous wave raise instead of being
+    silently returned (which would skip generating the new slice)."""
+    import pytest as _pytest
+
+    from etl_geodata_pipeline_ray.cdc.generator import write_wal_parallel
+
+    spec = WalSpec(n_convs=200, seed=5, seg_size=2_000)
+    wal = tmp_path / "wal"
+    p0 = write_wal_parallel(spec, wal, chunk_convs=100, chunk_base=0, task_cpus=1)
+    # same wave again -> legit resume, same paths
+    again = write_wal_parallel(spec, wal, chunk_convs=100, chunk_base=0, task_cpus=1)
+    assert again == sorted(p0)
+    # next wave with the old segments still on disk -> refuse loudly
+    with _pytest.raises(ValueError, match="outside this call's range"):
+        write_wal_parallel(spec, wal, chunk_convs=100, chunk_base=2, task_cpus=1)
+    for p in p0:
+        p.unlink()
+    p1 = write_wal_parallel(spec, wal, chunk_convs=100, chunk_base=2, task_cpus=1)
+    assert p1 and not (set(p1) & set(p0))

@@ -369,12 +369,12 @@ def test_merge_key_predicate_pushes_to_lsm_scan(ray_session, tmp_path):
 
     # (a) plan routing
     kp = (pads.field("conv_id") == "c1") & (pads.field("turn_idx") >= 2)
-    scan, post, extra = _plan_predicate(kp, ["text"])
+    scan, post, extra = _plan_predicate(kp)
     assert scan is not None and post is None and extra == set()
     pp = pads.field("role") == "user"
-    scan, post, extra = _plan_predicate(pp, ["text"])
+    scan, post, extra = _plan_predicate(pp)
     assert scan is None and post is not None and extra == {"role"}
-    assert _plan_predicate(None, None) == (None, None, set())
+    assert _plan_predicate(None) == (None, None, set())
 
     # multi-run lake: two append replays, never compacted
     wal, lake = tmp_path / "wal", tmp_path / "lake"
