@@ -1,0 +1,148 @@
+"""Dataset → lake upsert: commit any Ray Dataset through the engine.
+
+``upsert_dataset`` is the bulk-load / programmatic-upsert surface: a
+``ray.data.Dataset`` of transcript rows (or full change events) is
+conformed to the event envelope, staged as offset-named segments in
+the lake's OWN ``_ingest`` stream directory, and committed by the
+standard ``replay`` — same lock, same manifests-then-log commit
+protocol, same LWW semantics, same crash story (a crash mid-upsert
+leaves staged-but-uncommitted segments; the next upsert or an explicit
+``replay(lake/_ingest, lake)`` finishes them).
+
+A lake tails exactly ONE stream (segment names are stream offsets —
+``replay``'s ``wal_id`` guard). Upsert lakes therefore tail their own
+``_ingest`` dir; calling ``upsert_dataset`` on a lake that tails an
+external WAL raises rather than risking offset collisions.
+
+Reference parity: this is the engine-ingest analog of the reference's
+load-a-GeoDataFrame-into-the-warehouse step
+(``scripts/process_layers.py:238-252`` write side), expressed through
+the commit protocol instead of an in-place overwrite.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from . import manifest as mf
+from .replay import _committed_segment_names, commit_log, replay
+from .schema import EVENT_SCHEMA, conform
+
+_INGEST = "_ingest"
+
+
+def _next_offset(lake_dir: Path, stream: Path) -> int:
+    """First free stream offset: above every segment ever committed to
+    this lake AND everything currently staged (an earlier crashed
+    upsert may have staged-but-uncommitted segments)."""
+    base = 0
+    manifests = mf.read_all_manifests(lake_dir)
+    meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
+    num_shards = len(manifests)
+    if meta_path.exists():
+        import json
+
+        with open(meta_path) as f:
+            num_shards = json.load(f)["num_shards"]
+    for name in _committed_segment_names(lake_dir, manifests, num_shards):
+        base = max(base, mf.segment_offset(name) + 1)
+    for p in stream.glob("seg-*.parquet"):
+        base = max(base, mf.segment_offset(p) + 1)
+    return base
+
+
+def upsert_dataset(
+    ds: ray.data.Dataset,
+    lake_dir: str | Path,
+    num_shards: int = 32,
+    mode: str = "append",
+    op: str = "U",
+    **replay_kw,
+) -> dict:
+    """Commit ``ds`` into the lake as one logical WAL slice.
+
+    ``ds`` must carry the merge key + LWW stamp (``conv_id``,
+    ``turn_idx``, ``ts``); ``role``/``text``/``tool`` are null-filled
+    when absent, ``op`` defaults to the given code (``"U"`` upsert —
+    pass rows with their own ``op`` column to mix in deletes), and
+    ``op_seq`` defaults to the slice's base offset. Within one upsert,
+    two revisions of the SAME key with the SAME ``ts`` (and no caller
+    ``op_seq``) resolve arbitrarily — give revisions distinct ``ts``
+    or explicit ``op_seq`` when that matters. Returns the replay
+    stats dict.
+    """
+    lake_dir = Path(lake_dir)
+    stream = lake_dir / _INGEST
+    meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
+    if meta_path.exists():
+        import json
+
+        with open(meta_path) as f:
+            wal_id = json.load(f).get("wal_id")
+        if wal_id not in (None, str(stream.resolve())):
+            raise ValueError(
+                f"lake {lake_dir} tails WAL stream {wal_id!r}; "
+                "upsert_dataset is for lakes fed through their own "
+                "_ingest stream — replay new segments into that WAL "
+                "instead (segment names are stream offsets and would "
+                "collide)."
+            )
+
+    stream.mkdir(parents=True, exist_ok=True)
+    base = _next_offset(lake_dir, stream)
+
+    need = {"conv_id", "turn_idx", "ts"}
+    have = set(ds.schema().names)
+    if not need <= have:
+        raise ValueError(
+            f"upsert dataset must carry {sorted(need)}; missing "
+            f"{sorted(need - have)}"
+        )
+
+    def to_events(t: pa.Table) -> pa.Table:
+        if "op" not in t.column_names:
+            t = t.append_column(
+                "op", pa.array([op] * t.num_rows, pa.string())
+            )
+        if "op_seq" not in t.column_names:
+            t = t.append_column(
+                "op_seq", pa.nulls(t.num_rows, pa.int64()).fill_null(base)
+            )
+        return conform(t, EVENT_SCHEMA)
+
+    staging = stream / f".staging-{base:012d}"
+    ds.map_batches(to_events, batch_format="pyarrow").write_parquet(str(staging))
+    # offset-name the staged files (replay treats names as the stream's
+    # ordered offsets; any monotone unique ints work) and publish them
+    # with an atomic rename — replay never sees half-written segments
+    import os
+
+    for i, p in enumerate(sorted(staging.glob("*.parquet"))):
+        os.replace(p, stream / f"seg-{base + i:012d}.parquet")
+    staging.rmdir()
+
+    return replay(stream, lake_dir, num_shards=num_shards, mode=mode, **replay_kw)
+
+
+def gc_ingested(lake_dir: str | Path) -> int:
+    """Unlink committed segments from the ``_ingest`` stream dir (the
+    wave pattern: the stream never co-resides with the lake). Returns
+    the number removed; staged-but-uncommitted segments stay."""
+    lake_dir = Path(lake_dir)
+    stream = lake_dir / _INGEST
+    if not stream.exists():
+        return 0
+    committed = {
+        n for rec in commit_log(lake_dir) for n in rec.get("segments") or ()
+    }
+    removed = 0
+    for p in stream.glob("seg-*.parquet"):
+        if p.name in committed:
+            p.unlink()
+            removed += 1
+    return removed
