@@ -867,3 +867,55 @@ ORDER BY s2.op_seq
 """
 
 EXTRA_QUERIES2["q60_lake_diff"] = (q60_lake_diff, Q60_SQL)
+
+
+# ---------------------------------------------------------------- q61
+def q61_upsert_lake(sf_dir: str) -> pd.DataFrame:
+    """Dataset-upsert ingestion path, driver-oracle-checked: the same
+    deterministic envelope as q52 (conv_id = user_id, turn_idx =
+    event_id % 25, 'error' events are deletes, LWW on
+    (ts, op_seq=event_id)) is committed through ``upsert_dataset`` as
+    TWO upserts split at the midpoint id — the second carrying a
+    ``tool`` column the first lacks, so the conform-at-ingest schema
+    evolution is exercised — and the lake's final table must match the
+    same pure-SQL window oracle as q52. This puts the programmatic
+    ingest surface (stage → offset-name → locked replay) under the
+    driver's rows+schema+hash gate."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..cdc.ingest import upsert_dataset
+    from ..cdc.replay import lake_final_table
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+    ids = ev["event_id"].to_numpy()
+    split = int(ids.max()) // 2
+    role = ev["event_type"].to_numpy(zero_copy_only=False)
+    base = pa.table(
+        {
+            "conv_id": pc.cast(ev["user_id"], pa.string()),
+            "turn_idx": pa.array((ids % 25).astype(np.int32)),
+            "ts": ev["ts"].cast(pa.timestamp("us")),
+            "op": pa.array(np.where(role == "error", "D", "U")),
+            "op_seq": pa.array(ids, type=pa.int64()),
+            "role": pa.array(role),
+            "text": ev["props"].cast(pa.large_string()),
+        }
+    )
+    cut = int(np.searchsorted(ids, split))
+    first, second = base.slice(0, cut), base.slice(cut)
+    second = second.append_column("tool", pa.array(role[cut:]))
+
+    root = Path("/tmp/graft_q61") / f"{Path(sf_dir).name}-pid{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = root / "lake"
+    upsert_dataset(ray.data.from_arrow(first), lake, num_shards=16)
+    upsert_dataset(ray.data.from_arrow(second), lake, num_shards=16)
+    return lake_final_table(lake).to_pandas()
+
+
+Q61_SQL = Q52_SQL  # identical derivation, ingested via upsert_dataset
+
+EXTRA_QUERIES2["q61_upsert_lake"] = (q61_upsert_lake, Q61_SQL)
