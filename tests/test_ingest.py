@@ -84,3 +84,71 @@ def test_upsert_finishes_crash_staged_segments(ray_session, tmp_path):
     t = lake_final_table(lake)
     assert set(t["conv_id"].to_pylist()) == {"a", "b"}
     assert st["committed_segments"] == len(names1)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),      # conv
+                st.integers(0, 2),                      # turn
+                st.integers(0, 6),                      # ts offset
+                st.booleans(),                          # delete?
+            ),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=4,
+    )
+)
+def test_upsert_fuzz_matches_pandas_lww(ray_session, tmp_path_factory, batches):
+    """Random upsert/delete sequences must land on exactly the pandas
+    LWW oracle: per key keep the max (ts, op_seq) revision, drop it if
+    that revision is a delete. op_seq is made explicit and globally
+    unique so every winner is deterministic."""
+    import pandas as pd
+
+    lake = tmp_path_factory.mktemp("upfuzz") / "lake"
+    all_rows, seq = [], 0
+    for batch in batches:
+        rows = []
+        for conv, turn, tso, is_del in batch:
+            rows.append((conv, turn, tso, is_del, seq))
+            seq += 1
+        all_rows.extend(rows)
+        ds = ray.data.from_arrow(pa.table({
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "ts": pa.array([1_700_000_000_000_000 + r[2] for r in rows],
+                           pa.timestamp("us")),
+            "op": ["D" if r[3] else "U" for r in rows],
+            "op_seq": pa.array([r[4] for r in rows], pa.int64()),
+            "text": [None if r[3] else f"t{r[4]}" for r in rows],
+        }))
+        upsert_dataset(ds, lake, num_shards=2)
+
+    df = pd.DataFrame(all_rows, columns=["conv_id", "turn_idx", "tso", "is_del", "op_seq"])
+    win = (
+        df.sort_values(["tso", "op_seq"])
+        .groupby(["conv_id", "turn_idx"])
+        .last()
+        .reset_index()
+    )
+    want = win[~win.is_del][["conv_id", "turn_idx", "op_seq"]]
+    got = lake_final_table(lake).to_pandas()
+    got["op_seq_from_text"] = got["text"].str.removeprefix("t").astype(int)
+    got = got[["conv_id", "turn_idx", "op_seq_from_text"]]
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["conv_id"].values == want["conv_id"].values).all()
+    assert (got["turn_idx"].values == want["turn_idx"].values).all()
+    assert (got["op_seq_from_text"].values == want["op_seq"].values).all()
