@@ -78,6 +78,13 @@ class WalSpec:
             f"_o{self.shuffle_window}_sc{self.schema_change_frac}_z{self.zipf_s}"
             f"_r{self.row_group_size}"
             + (f"_i{self.invalid_rate}" if self.invalid_rate else "")
+            # appended only for non-default roles so every cache key
+            # ever minted stays valid
+            + (
+                "_R" + "-".join(self.roles)
+                if self.roles != ("system", "user", "assistant")
+                else ""
+            )
         )
 
 
@@ -469,7 +476,9 @@ def write_wal_parallel(
             # caller that crashed between replay and GC would otherwise
             # get the PREVIOUS wave's segments back and silently never
             # generate the requested slice of the stream
-            offs = [int(p.name[4:16]) for p in existing]
+            from .manifest import segment_offset
+
+            offs = [segment_offset(p) for p in existing]
             if min(offs) >= lo and max(offs) < hi:
                 return existing
             raise ValueError(

@@ -5,9 +5,14 @@
 conformed to the event envelope, staged as offset-named segments in
 the lake's OWN ``_ingest`` stream directory, and committed by the
 standard ``replay`` — same lock, same manifests-then-log commit
-protocol, same LWW semantics, same crash story (a crash mid-upsert
-leaves staged-but-uncommitted segments; the next upsert or an explicit
-``replay(lake/_ingest, lake)`` finishes them).
+protocol, same LWW semantics, same crash story: a crash after
+publication leaves published-but-uncommitted segments that the next
+upsert (or an explicit ``replay(lake/_ingest, lake)``) commits; a
+crash BEFORE publication leaves only ``.staging-*`` scratch, which is
+never published (unique per run) and is reclaimed by ``gc_ingested``.
+Concurrent upserts are safe: offsets publish via exclusive hard links,
+so two racing upserts interleave distinct segment names and both
+commit under the lake lock.
 
 A lake tails exactly ONE stream (segment names are stream offsets —
 ``replay``'s ``wal_id`` guard). Upsert lakes therefore tail their own
@@ -115,15 +120,33 @@ def upsert_dataset(
             )
         return conform(t, EVENT_SCHEMA)
 
-    staging = stream / f".staging-{base:012d}"
+    # UNIQUE staging dir: a crashed upsert's leftovers (possibly torn
+    # files) can never be published by a later run, and two concurrent
+    # upserts never stage into each other's scratch
+    import os
+    import uuid
+
+    staging = stream / f".staging-{uuid.uuid4().hex}"
     ds.map_batches(to_events, batch_format="pyarrow").write_parquet(str(staging))
     # offset-name the staged files (replay treats names as the stream's
-    # ordered offsets; any monotone unique ints work) and publish them
-    # with an atomic rename — replay never sees half-written segments
-    import os
-
-    for i, p in enumerate(sorted(staging.glob("*.parquet"))):
-        os.replace(p, stream / f"seg-{base + i:012d}.parquet")
+    # ordered offsets; any monotone unique ints work). Publication is
+    # an EXCLUSIVE hard link: os.link fails if the target exists, so a
+    # concurrent upsert that raced to the same offset can never be
+    # clobbered — the loser just probes the next offset. The link+
+    # unlink pair publishes only complete files (write_parquet
+    # finished above), so replay never sees a half-written segment.
+    nxt = base
+    for p in sorted(staging.glob("*.parquet")):
+        while True:
+            target = stream / f"seg-{nxt:012d}.parquet"
+            try:
+                os.link(p, target)
+            except FileExistsError:
+                nxt += 1
+                continue
+            os.unlink(p)
+            nxt += 1
+            break
     staging.rmdir()
 
     return replay(stream, lake_dir, num_shards=num_shards, mode=mode, **replay_kw)
@@ -131,8 +154,13 @@ def upsert_dataset(
 
 def gc_ingested(lake_dir: str | Path) -> int:
     """Unlink committed segments from the ``_ingest`` stream dir (the
-    wave pattern: the stream never co-resides with the lake). Returns
-    the number removed; staged-but-uncommitted segments stay."""
+    wave pattern: the stream never co-resides with the lake), plus any
+    crashed upserts' abandoned ``.staging-*`` scratch dirs. Call when
+    no upsert is in flight (an active upsert's staging dir is
+    indistinguishable from an abandoned one). Returns the number
+    removed; published-but-uncommitted segments stay."""
+    import shutil
+
     lake_dir = Path(lake_dir)
     stream = lake_dir / _INGEST
     if not stream.exists():
@@ -145,4 +173,7 @@ def gc_ingested(lake_dir: str | Path) -> int:
         if p.name in committed:
             p.unlink()
             removed += 1
+    for d in stream.glob(".staging-*"):
+        shutil.rmtree(d, ignore_errors=True)
+        removed += 1
     return removed

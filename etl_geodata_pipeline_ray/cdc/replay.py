@@ -302,7 +302,6 @@ def _merge_task(
     shard: int,
     salt: int,
     k: int,
-    old_k: int,
     version: int,
     num_shards: int,
     delta_files: list[str],
@@ -342,7 +341,10 @@ def _merge_task(
         tabs = []
         for f in base_files:
             t = pq.read_table(str(Path(lake_dir) / f))
-            if t.num_rows and (k > 1 or old_k > 1):
+            # k == 1 owns the whole keyspace: salt_of(·, ·, 1) is
+            # identically 0, so filtering would hash a multi-GB base
+            # for an all-True mask regardless of how it was salted
+            if t.num_rows and k > 1:
                 h = hash_u64(t["conv_id"])
                 t = t.filter(pa.array(salt_of(h, num_shards, k) == salt))
             tabs.append(t)
@@ -357,7 +359,13 @@ def _merge_task(
         merger.apply(delta)
     out = merger.finish()
     if out is None:
-        out = (delta if delta is not None else base) or pa.table({})
+        # explicit None checks: an EMPTY typed table is FALSY in
+        # pyarrow, and `or` would replace it with a zero-COLUMN table
+        # whose schema-less parquet file poisons every later reader
+        # (hits when a salt bucket of a skewed shard holds no rows)
+        out = delta if delta is not None else base
+    if out is None:
+        out = EVENT_SCHEMA.empty_table()
 
     rel = f"shard={shard:05d}/v{version:06d}-s{salt:03d}.parquet"
     nbytes = mf.atomic_write_table(out, Path(lake_dir) / rel)
@@ -431,25 +439,6 @@ def replay(
     # silently no-op. Refuse instead (wal_id check).
     wal_id = str(Path(wal_dir).resolve())
     meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
-    if meta_path.exists():
-        with open(meta_path) as f:
-            meta = json.load(f)
-        num_shards = meta["num_shards"]
-        # pre-retention lakes default to 1 (the old delete-on-commit GC)
-        retain_versions = meta.get("retain_versions", 1)
-        if meta.get("wal_id") not in (None, wal_id):
-            raise ValueError(
-                f"lake {lake_dir} tails WAL stream {meta['wal_id']!r}; "
-                f"refusing to replay {wal_id!r} — segment names are "
-                "stream offsets and would collide. Use a new lake dir."
-            )
-    else:
-        mf.atomic_write_json(
-            {"num_shards": num_shards, "wal_id": wal_id,
-             "retain_versions": max(1, retain_versions)},
-            meta_path,
-        )
-    retain_versions = max(1, retain_versions)
 
     import time as _time
 
@@ -461,6 +450,29 @@ def replay(
 
     with (lock_cls or mf.LakeLock)(lake_dir) as lk:
         fence = lk.check
+        # the meta decision runs INSIDE the lock: two concurrent FIRST
+        # replays with different num_shards would otherwise each
+        # proceed with their own local value (last meta write wins)
+        # and hash-route the same conv_id to different shards
+        if meta_path.exists():
+            with open(meta_path) as f:
+                meta = json.load(f)
+            num_shards = meta["num_shards"]
+            # pre-retention lakes default to 1 (old delete-on-commit GC)
+            retain_versions = meta.get("retain_versions", 1)
+            if meta.get("wal_id") not in (None, wal_id):
+                raise ValueError(
+                    f"lake {lake_dir} tails WAL stream {meta['wal_id']!r}; "
+                    f"refusing to replay {wal_id!r} — segment names are "
+                    "stream offsets and would collide. Use a new lake dir."
+                )
+        else:
+            mf.atomic_write_json(
+                {"num_shards": num_shards, "wal_id": wal_id,
+                 "retain_versions": max(1, retain_versions)},
+                meta_path,
+            )
+        retain_versions = max(1, retain_versions)
         # manifests are read INSIDE the lock: another replay may have
         # committed between call time and lock acquisition, and a stale
         # snapshot here would re-write just-committed v{N}-s{salt}
@@ -637,7 +649,6 @@ def _replay_locked(
     # of tasks is made of small ones (shorter straggler tail).
     plans.sort(key=lambda p: -p[3])
 
-    old_k = {sh: m.get("salt_k", 1) for sh, m in manifests.items()}
     new_version = {sh: m["version"] + 1 for sh, m in manifests.items()}
 
     timings["plan"] = round(_time.perf_counter() - _t0, 3)
@@ -679,7 +690,6 @@ def _replay_locked(
                     sh,
                     j,
                     k,
-                    old_k.get(sh, 1),
                     new_version.get(sh, 1),
                     num_shards,
                     delta_j,
@@ -772,7 +782,7 @@ def _replay_locked(
     # THE commit point: one O(batch) fsynced record; untouched shards
     # are never rewritten (previously all num_shards manifests were)
     _append_commit_log(lake_dir, commit_id, seg_names)
-    removed = _gc(lake_dir, new_manifests, keep_incoming=None)
+    removed = _gc(lake_dir, new_manifests)
     timings["commit_gc"] = round(_time.perf_counter() - _t0, 3)
     total_rows = sum(m["rows"] for m in new_manifests.values())
     return {
@@ -839,7 +849,7 @@ def _compact_locked(
         for j in range(k):
             refs.append(
                 _merge_task.options(memory=mem).remote(
-                    str(lake_dir), sh, j, k, manifests[sh].get("salt_k", 1),
+                    str(lake_dir), sh, j, k,
                     version, num_shards, [], files,
                 )
             )
@@ -871,7 +881,7 @@ def _compact_locked(
         m["bytes"] = sum(f["bytes"] for f in m["files"])
         mf.atomic_write_json(m, mf.manifest_path(lake_dir, sh))
         new_manifests[sh] = m
-    removed = _gc(lake_dir, new_manifests, keep_incoming=None)
+    removed = _gc(lake_dir, new_manifests)
     return {"shards_compacted": len(by_shard), "gc_files": removed}
 
 
@@ -1036,12 +1046,16 @@ def _snapshot_manifests(
     return out
 
 
-def expire_snapshots(lake_dir: str | Path, keep: int = 1) -> dict:
+def expire_snapshots(lake_dir: str | Path, keep: int = 1, lock_cls=None) -> dict:
     """Trim every shard's retained history to ``keep`` versions
     (current included) and GC the files that fall out — the storage
-    lever for long-running lakes. Runs under the lake lock."""
+    lever for long-running lakes. Runs under the lake lock;
+    ``lock_cls`` as in ``replay`` (on a multi-node deployment pass
+    ``mf.LeaseLock`` here too — a flock only excludes THIS node's
+    writers, and GC racing a remote commit can unlink files the
+    in-flight manifests are about to reference)."""
     lake_dir = Path(lake_dir)
-    with mf.LakeLock(lake_dir):
+    with (lock_cls or mf.LakeLock)(lake_dir):
         manifests = mf.read_all_manifests(lake_dir)
         dropped = 0
         for sh, m in manifests.items():
@@ -1053,7 +1067,7 @@ def expire_snapshots(lake_dir: str | Path, keep: int = 1) -> dict:
             m["history"] = hist[: max(0, keep - 1)]
             mf.atomic_write_json(m, mf.manifest_path(lake_dir, sh))
             manifests[sh] = m
-        removed = _gc(lake_dir, manifests, keep_incoming=None)
+        removed = _gc(lake_dir, manifests)
         return {"versions_dropped": dropped, "gc_files": removed}
 
 
@@ -1152,7 +1166,7 @@ def read_quarantine(lake_dir: str | Path) -> ray.data.Dataset:
     return out
 
 
-def _gc(lake_dir: Path, manifests: dict[int, dict], keep_incoming: str | None) -> int:
+def _gc(lake_dir: Path, manifests: dict[int, dict]) -> int:
     """Remove data files not referenced by any manifest and stale
     delta-run dirs (both are invisible to readers by construction)."""
     live = {
@@ -1175,9 +1189,8 @@ def _gc(lake_dir: Path, manifests: dict[int, dict], keep_incoming: str | None) -
     inc = Path(lake_dir) / _INCOMING
     if inc.exists():
         for d in inc.iterdir():
-            if keep_incoming is None or d.name != keep_incoming:
-                shutil.rmtree(d, ignore_errors=True)
-                removed += 1
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
     # quarantine dirs whose per-commit manifest never landed (crash
     # mid-move): invisible to read_quarantine, safe to drop
     qroot = Path(lake_dir) / _QUARANTINE

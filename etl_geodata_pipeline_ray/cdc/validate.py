@@ -28,6 +28,7 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
@@ -72,7 +73,7 @@ def validate_lake(lake_dir: str | Path) -> dict:
                 v.append(f"I5 rows {t.num_rows} != manifest {it['expect_rows']}")
             if Path(it["path"]).stat().st_size != it["expect_bytes"]:
                 v.append("I5 bytes != manifest")
-            ops = set(t["op"].to_pylist())
+            ops = set(pc.unique(t["op"]).to_pylist())
             if not ops <= set(_VALID_OPS):
                 v.append(f"I1 unknown ops {sorted(ops - set(_VALID_OPS))}")
             df = t.select(["conv_id", "turn_idx"]).to_pandas()

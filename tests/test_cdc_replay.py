@@ -917,3 +917,99 @@ def test_wave_cache_refuses_stale_wave(ray_session, tmp_path):
         p.unlink()
     p1 = write_wal_parallel(spec, wal, chunk_convs=100, chunk_base=2, task_cpus=1)
     assert p1 and not (set(p1) & set(p0))
+
+
+def test_empty_salt_bucket_writes_typed_file(ray_session, tmp_path):
+    """A salted hot shard whose OTHER salt buckets hold no rows (one
+    giant conversation: every row hashes to one bucket) must still
+    write typed parquet for the empty buckets — an empty pyarrow Table
+    is FALSY, and an `or`-fallback once replaced it with a zero-column
+    table whose schema-less file poisoned every later reader."""
+    import pyarrow as pa
+
+    from etl_geodata_pipeline_ray.cdc.schema import EVENT_SCHEMA
+    from etl_geodata_pipeline_ray.cdc.validate import validate_lake
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    n = 4000
+    rows = {
+        "op": ["I"] * n,
+        "op_seq": list(range(n)),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                       pa.timestamp("us")),
+        "conv_id": ["conv_hot"] * n,  # ONE conversation: one salt bucket
+        "turn_idx": pa.array(list(range(n)), pa.int32()),
+        "role": ["user"] * n,
+        "text": pa.array([f"t{i}" * 20 for i in range(n)], pa.large_string()),
+        "tool": [None] * n,
+    }
+    pq.write_table(pa.table(rows, schema=EVENT_SCHEMA),
+                   wal / "seg-000000000000.parquet")
+    lake = tmp_path / "lake"
+    st = replay(wal, lake, num_shards=2, salt_threshold=50_000)
+    assert st["salted_shards"] >= 1, "salting must engage for this test"
+    v = validate_lake(lake)
+    assert v["ok"], v["violations"]
+    assert lake_final_table(lake).num_rows == n
+    # every committed file (including empty salt buckets) carries the
+    # full event schema
+    import json as _json
+
+    from etl_geodata_pipeline_ray.cdc import manifest as mf
+
+    for m in mf.read_all_manifests(lake).values():
+        for f in m["files"]:
+            sch = pq.read_schema(lake / f["path"])
+            assert set(EVENT_SCHEMA.names) <= set(sch.names), f["path"]
+
+
+def test_concurrent_upserts_interleave_safely(ray_session, tmp_path):
+    """Two upserts racing the same lake must interleave distinct
+    segment names (exclusive-link publication) and both commit — no
+    clobbered rows, even when their base offsets collide."""
+    import threading
+
+    import pyarrow as pa
+    import ray.data
+
+    from etl_geodata_pipeline_ray.cdc import manifest as mf
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+
+    lake = tmp_path / "lake"
+
+    def rows(tag, n=500):
+        return ray.data.from_arrow(pa.table({
+            "conv_id": [f"{tag}{i:04d}" for i in range(n)],
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                           pa.timestamp("us")),
+            "text": pa.array([tag] * n, pa.large_string()),
+        }))
+
+    errs = []
+
+    def work(tag):
+        for _ in range(200):
+            try:
+                upsert_dataset(rows(tag), lake, num_shards=2)
+                return
+            except mf.LakeLockedError:
+                import time
+
+                time.sleep(0.05)
+        errs.append(f"{tag}: never acquired the lock")
+
+    ts = [threading.Thread(target=work, args=(t,)) for t in ("aa", "bb")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    # one upsert's replay may commit the other's published segments
+    # first — a follow-up commit of anything left, then both tags
+    # must be fully present
+    upsert_dataset(rows("cc", n=1), lake, num_shards=2)
+    t = lake_final_table(lake).to_pandas()
+    counts = t["text"].value_counts()
+    assert counts.get("aa", 0) == 500 and counts.get("bb", 0) == 500, counts
