@@ -90,6 +90,13 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--output", help="write result parquet here instead of printing")
     ps.add_argument("--limit", type=int, default=20)
 
+    pu = sub.add_parser("upsert", help="commit parquet rows into a lake via upsert_dataset")
+    pu.add_argument("parquet"), pu.add_argument("lake")
+    pu.add_argument("--num-shards", type=int, default=32)
+    pu.add_argument("--mode", default="append", choices=["append", "rewrite"])
+    pu.add_argument("--op", default="U", help="default op for rows without an op column")
+    pu.add_argument("--gc", action="store_true", help="GC committed stream segments after")
+
     pq_ = sub.add_parser("query", help="run a catalog query from __ray_entry__")
     pq_.add_argument("name"), pq_.add_argument("sf_dir")
     pq_.add_argument("--limit", type=int, default=20)
@@ -148,6 +155,18 @@ def main(argv: list[str] | None = None) -> int:
                 idle_polls=a.idle_polls, num_shards=a.num_shards, mode=a.mode,
             )
             print(json.dumps({"commits": len(commits)}))
+        elif a.cmd == "upsert":
+            import ray.data as rd
+
+            from .cdc.ingest import gc_ingested, upsert_dataset
+
+            st = upsert_dataset(
+                rd.read_parquet(a.parquet), a.lake,
+                num_shards=a.num_shards, mode=a.mode, op=a.op,
+            )
+            if a.gc:
+                st["stream_gc"] = gc_ingested(a.lake)
+            print(json.dumps(st))
         elif a.cmd == "run-spec":
             from .pipelines.spec import run_file
 
