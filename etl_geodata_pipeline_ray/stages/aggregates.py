@@ -76,7 +76,13 @@ def distinct_count(
     from .bucketed import bucketed_apply
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([group, value]).to_pandas().drop_duplicates()
+        # nulls are NOT a distinct value (pandas nunique semantics)
+        df = (
+            batch.select([group, value])
+            .to_pandas()
+            .dropna(subset=[value])
+            .drop_duplicates()
+        )
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def cnt(g: pd.DataFrame) -> pd.DataFrame:

@@ -186,6 +186,12 @@ def _band_rows(
     batch: pd.DataFrame, num_bands: int, rows_per_band: int, id_col: str
 ) -> pd.DataFrame:
     """Explode signatures into (band, band_hash, id, sig) rows."""
+    if len(batch) == 0:  # np.stack raises on an empty block
+        return pd.DataFrame({
+            "band": pd.Series([], dtype="int64"),
+            "band_hash": pd.Series([], dtype="int64"),
+            id_col: pd.Series([], dtype="int64"),
+        })
     sig = np.stack(batch["_sig"].to_numpy())
     n = len(batch)
     out_band, out_hash, out_id = [], [], []
@@ -270,6 +276,7 @@ def minhash_candidate_pairs(
     num_bands: int = 32,
     bucket_cap: int = 256,
     n_buckets: int = 32,
+    shingle_k: int = 3,
 ) -> ray.data.Dataset:
     """Distributed LSH candidate generation: signatures → band rows →
     one bucketed shuffle on (band, band_hash) with a vectorized
@@ -280,7 +287,7 @@ def minhash_candidate_pairs(
     rows_per_band = num_perm // num_bands
     sigs_ds = ds.map_batches(
         MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm},
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pandas",
         concurrency=(1, 8),
     )
@@ -313,6 +320,7 @@ def minhash_near_dup_pairs(
     num_perm: int = 128,
     num_bands: int = 32,
     shingle_k: int = 3,
+    bucket_cap: int = 256,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs with EXACT word-shingle Jaccard ≥
     threshold: LSH banding proposes candidates (distributed), then the
@@ -323,8 +331,11 @@ def minhash_near_dup_pairs(
     from .relational import shuffle_join, shuffle_join_schema
 
     docs = ds.select_columns([id_col, text_col])
+    # the SAME shingle_k drives both the LSH signatures and the exact
+    # verification below — a mismatch silently degrades recall
     pairs = minhash_candidate_pairs(
-        ds, id_col=id_col, num_perm=num_perm, num_bands=num_bands
+        ds, id_col=id_col, num_perm=num_perm, num_bands=num_bands,
+        shingle_k=shingle_k, bucket_cap=bucket_cap,
     )
     pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     docs_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string())])
@@ -718,7 +729,27 @@ def embedding_near_dupes(
     import ray as _ray
 
     ref = _ray.put(planes)
-    weights = (1 << np.arange(num_planes)).astype(np.int64)
+    # exact bit weights are only collision-free up to 63 planes —
+    # (1 << 64) wraps to 0 in int64, silently zeroing every plane past
+    # the 63rd (high-threshold bandings auto-tune to r > 63). Beyond
+    # that, mix the packed sign bits into a 64-bit key: collisions are
+    # ~2^-64 and only ADD candidates (exact verification filters them).
+    weights = (
+        (1 << np.arange(num_planes)).astype(np.int64)
+        if num_planes <= 63
+        else None
+    )
+
+    def _bits_key(chunk: np.ndarray) -> np.ndarray:
+        packed = np.packbits(chunk, axis=1)
+        pad = (-packed.shape[1]) % 8
+        if pad:
+            packed = np.pad(packed, ((0, 0), (0, pad)))
+        words = packed.view(np.uint64).reshape(len(packed), -1)
+        key = np.zeros(len(packed), dtype=np.uint64)
+        for wcol in words.T:
+            key = key * np.uint64(0x100000001B3) ^ wcol
+        return key.astype(np.int64)
 
     def band_rows(b: pa.Table) -> pd.DataFrame:
         from .similarity import _to_matrix
@@ -731,7 +762,7 @@ def embedding_near_dupes(
         out = []
         for band in range(num_bands):
             chunk = signs[:, band * num_planes : (band + 1) * num_planes]
-            key = chunk @ weights
+            key = chunk @ weights if weights is not None else _bits_key(chunk)
             out.append(pd.DataFrame({"band": band, "key": key, id_col: ids}))
         return pd.concat(out, ignore_index=True)
 

@@ -94,6 +94,13 @@ class DecodeImage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats = [self._features(p) for p in batch["payload"]]
+        if not feats:  # zip(*[]) unpacks to nothing on an empty block
+            out = batch.drop(columns=["payload"])
+            for c, dt in (("dec_width", np.int32), ("dec_height", np.int32),
+                          ("px_mean", np.float64), ("px_std", np.float64),
+                          ("aspect", np.float64)):
+                out[c] = pd.Series([], dtype=dt)
+            return out
         w, h, mean, std = map(np.asarray, zip(*feats))
         out = batch.drop(columns=["payload"])  # payload dropped after decode
         out["dec_width"] = w.astype(np.int32)

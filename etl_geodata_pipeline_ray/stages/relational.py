@@ -57,10 +57,21 @@ def broadcast_join(
     each map task probes a per-worker-cached sorted-key index
     (np.searchsorted + Arrow take — built once per worker). Falls back
     to an Acero join per batch for composite keys or duplicate right
-    keys. Reference analog: district KPIs ⋈ boundaries (J3,
-    ``visualization_helpers.py:178``)."""
+    keys. ``join_type`` supports ``inner``/``left`` only (semi/anti go
+    through ``planned_semi_anti_join``). Right-side columns colliding
+    with left names get the same ``_r`` suffix ``shuffle_join`` uses,
+    so ``smart_join``'s output schema does not depend on which side of
+    the size threshold the data lands. Reference analog: district
+    KPIs ⋈ boundaries (J3, ``visualization_helpers.py:178``)."""
+    if join_type not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_join supports inner/left, not {join_type!r}; "
+            "use planned_semi_anti_join / shuffle_join for semi/anti"
+        )
     ref = ray.put(small)
     rkeys = right_keys or keys
+    # Acero spells the type 'left outer'
+    acero_type = "left outer" if join_type == "left" else join_type
 
     def _prepare(tbl: pa.Table):
         if len(rkeys) != 1:
@@ -77,23 +88,53 @@ def broadcast_join(
     def join_batch(batch: pa.Table) -> pa.Table:
         def build():
             tbl = ray.get(ref)
+            # suffix right non-key columns colliding with left names,
+            # matching shuffle_join's convention
+            clash = [
+                c for c in tbl.column_names
+                if c in batch.column_names and c not in rkeys
+            ]
+            if clash:
+                tbl = tbl.rename_columns(
+                    [c + "_r" if c in clash else c for c in tbl.column_names]
+                )
             return tbl, _prepare(tbl)
 
         tbl, prep = _bcast_cached(ref, build)
         if prep is None:
-            return batch.join(tbl, keys=keys, right_keys=rkeys, join_type=join_type)
+            return batch.join(
+                tbl, keys=keys, right_keys=rkeys, join_type=acero_type
+            )
         sk, payload = prep
         bk = batch.column(keys[0]).to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(sk, bk)
-        idx_c = np.minimum(idx, len(sk) - 1)
-        hit = (sk[idx_c] == bk) & (idx < len(sk))
+        if len(sk) == 0:  # empty dim table: no key ever matches
+            hit = np.zeros(len(bk), dtype=bool)
+            idx = idx_c = np.zeros(len(bk), dtype=np.int64)
+            if join_type == "inner":
+                out = batch.filter(pa.array(hit))
+                for name in payload.column_names:
+                    out = out.append_column(
+                        name, pa.nulls(0, payload.column(name).type)
+                    )
+                return out
+        else:
+            idx = np.searchsorted(sk, bk)
+            idx_c = np.minimum(idx, len(sk) - 1)
+            hit = (sk[idx_c] == bk) & (idx < len(sk))
         if join_type == "inner":
             batch = batch.filter(pa.array(hit))
             picked = payload.take(pa.array(idx_c[hit]))
             for name in picked.column_names:
                 batch = batch.append_column(name, picked.column(name))
             return batch
-        # left join: null-fill misses
+        # left join: null-fill misses (an empty payload cannot be
+        # take()n — every row is a miss, so append typed nulls)
+        if len(sk) == 0:
+            for name in payload.column_names:
+                batch = batch.append_column(
+                    name, pa.nulls(batch.num_rows, payload.column(name).type)
+                )
+            return batch
         take_idx = np.where(hit, idx_c, -1)
         picked = payload.take(pa.array(np.where(take_idx >= 0, take_idx, 0)))
         for name in picked.column_names:

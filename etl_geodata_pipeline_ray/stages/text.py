@@ -190,6 +190,10 @@ def vocab_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datas
             pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")), r"\s+"
         )
         flat = pc.list_flatten(toks)
+        # split of an empty/whitespace-only doc yields [""] — drop it,
+        # or the vocabulary gains a phantom ''-token row and its total
+        # disagrees with token_count_batch / any \S+-based oracle
+        flat = flat.filter(pc.not_equal(flat, ""))
         vc = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
         return pa.table(
             {"token": vc["token"], "cnt": pc.cast(vc["token_count"], pa.int64())}

