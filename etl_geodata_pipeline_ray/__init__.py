@@ -33,3 +33,42 @@ class _EmptyNewSchemaFilter(_logging.Filter):
 _logging.getLogger(
     "ray.data._internal.execution.streaming_executor_state"
 ).addFilter(_EmptyNewSchemaFilter())
+
+
+def _shim_fsspec_http() -> None:
+    """Make Ray Data thread-safe in aiohttp-less environments.
+
+    Ray's path resolution probes ``from fsspec.implementations.http
+    import HTTPFileSystem`` on EVERY read/write and handles only
+    ``ModuleNotFoundError`` (absent aiohttp). A FAILED import is not
+    cached, so two threads racing the probe can interleave: the loser
+    observes the winner's partially-initialized module in sys.modules
+    and gets a plain ``ImportError`` ("cannot import name ...") that
+    Ray does not catch — killing whichever caller thread lost the
+    race. Pre-seeding a stub module with a never-instantiated
+    HTTPFileSystem class makes the probe succeed deterministically;
+    Ray only uses the name for isinstance checks, which are False for
+    every filesystem this engine touches — exactly the behavior Ray's
+    own ModuleNotFoundError branch intends."""
+    import sys as _sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import types as _types
+
+        class _HTTPFileSystemUnavailable:  # pragma: no cover - marker type
+            def __init__(self, *a, **kw):
+                raise ModuleNotFoundError(
+                    "fsspec HTTP filesystem needs aiohttp, which is not "
+                    "installed"
+                )
+
+        mod = _types.ModuleType("fsspec.implementations.http")
+        mod.HTTPFileSystem = _HTTPFileSystemUnavailable
+        _sys.modules["fsspec.implementations.http"] = mod
+    except ImportError:
+        pass  # partially importable some other way: leave it alone
+
+
+_shim_fsspec_http()

@@ -30,7 +30,7 @@ def conv_turn_counts(lake_dir: str | Path) -> pd.DataFrame:
     ds = read_lake(lake_dir, columns=["conv_id", "text"])
 
     def add_tokens(t: pa.Table) -> pa.Table:
-        n = token_count_batch(pa.chunked_array([t["text"].combine_chunks()]).combine_chunks())
+        n = token_count_batch(t["text"])
         return pa.table(
             {"conv_id": t["conv_id"], "n_tokens": pa.compute.cast(n, pa.int64())}
         )
@@ -55,9 +55,13 @@ def conv_role_entropy(lake_dir: str | Path) -> pd.DataFrame:
     return shannon_entropy(ds, "conv_id", "role", output="role_entropy").to_pandas()
 
 
-def longest_conversations(lake_dir: str | Path, k: int = 10) -> pd.DataFrame:
-    """Top-k conversations by turn count (O2)."""
-    counts = conv_turn_counts(lake_dir)
+def longest_conversations(
+    lake_dir: str | Path, k: int = 10, counts: pd.DataFrame | None = None
+) -> pd.DataFrame:
+    """Top-k conversations by turn count (O2). Pass a precomputed
+    ``conv_turn_counts`` frame to avoid a second full lake scan."""
+    if counts is None:
+        counts = conv_turn_counts(lake_dir)
     return (
         counts.sort_values(["n_turns", "conv_id"], ascending=[False, True])
         .head(k)
@@ -110,10 +114,11 @@ def conv_engagement_score(
 
 def lake_kpis(lake_dir: str | Path) -> dict[str, pd.DataFrame]:
     """The full KPI bundle (reference ``compute_kpis`` analog)."""
+    counts = conv_turn_counts(lake_dir)
     return {
-        "turn_counts": conv_turn_counts(lake_dir),
+        "turn_counts": counts,
         "role_histogram": role_histogram(lake_dir),
         "role_entropy": conv_role_entropy(lake_dir),
-        "longest": longest_conversations(lake_dir),
+        "longest": longest_conversations(lake_dir, counts=counts),
         "engagement": conv_engagement_score(lake_dir),
     }

@@ -531,6 +531,13 @@ def q19_table_stats(sf_dir: str) -> pd.DataFrame:
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:  # every block empty: match SQL aggregates over 0 rows
+        return pd.DataFrame({
+            "n_rows": [0],
+            "first_ship": pd.Series([pd.NaT], dtype="datetime64[us]"),
+            "last_ship": pd.Series([pd.NaT], dtype="datetime64[us]"),
+            "total_price": [None], "n_suppliers": [0],
+        })
     n_supp = len(
         np.unique(
             np.concatenate(

@@ -47,7 +47,12 @@ def register_step(name: str):
 
 def _resolve(obj: Any, params: dict) -> Any:
     if isinstance(obj, str):
-        return obj.format(**params)
+        # targeted placeholder substitution, NOT str.format: spec
+        # values legitimately carry literal braces (regex patterns
+        # like '[0-9]{4}'), which .format would crash on
+        for k, v in params.items():
+            obj = obj.replace("{" + k + "}", str(v))
+        return obj
     if isinstance(obj, dict):
         return {k: _resolve(v, params) for k, v in obj.items()}
     if isinstance(obj, list):
@@ -185,7 +190,7 @@ def _groupby_agg(ds, keys: list[str], aggs: list[dict]):
 @register_step("sort_limit")
 def _sort_limit(ds, by: list[str], descending: bool = True, limit: int | None = None):
     ds = ds.sort(by, descending=descending)
-    return ds.limit(limit) if limit else ds
+    return ds.limit(limit) if limit is not None else ds
 
 
 @register_step("broadcast_join")

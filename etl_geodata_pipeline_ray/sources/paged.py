@@ -29,12 +29,10 @@ class PagedSourceDatasource(Datasource):
         fetch_page: Callable[[int], pa.Table],
         num_pages: int,
         schema: pa.Schema | None = None,
-        rows_per_page_hint: int | None = None,
     ):
         self._fetch_page = fetch_page
         self._num_pages = num_pages
         self._schema = schema
-        self._rows_hint = rows_per_page_hint
 
     def estimate_inmemory_data_size(self) -> int | None:
         return None
@@ -43,8 +41,12 @@ class PagedSourceDatasource(Datasource):
         fetch = self._fetch_page
         tasks = []
         for page in range(self._num_pages):
+            # num_rows in read-task metadata must be EXACT or None:
+            # Ray's Dataset.count() short-circuits on the metadata sum
+            # without executing, so a per-page "hint" (wrong for the
+            # last partial page) would make count() lie
             meta = BlockMetadata(
-                num_rows=self._rows_hint,
+                num_rows=None,
                 size_bytes=None,
                 input_files=None,
                 exec_stats=None,

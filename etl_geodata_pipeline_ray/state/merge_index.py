@@ -34,14 +34,6 @@ from ..cdc.schema import LWW_ORDER, MERGE_KEY
 _HASH_KEY = "graftcdc-hashkey"
 
 
-def hash_shard(conv_ids: pa.Array | np.ndarray, num_shards: int) -> np.ndarray:
-    """Deterministic vectorized hash of conv_id → shard in [0, S)."""
-    if isinstance(conv_ids, (pa.Array, pa.ChunkedArray)):
-        conv_ids = conv_ids.to_numpy(zero_copy_only=False)
-    h = pd.util.hash_array(np.asarray(conv_ids, dtype=object), hash_key=_HASH_KEY)
-    return (h % np.uint64(num_shards)).astype(np.int64)
-
-
 def _first_per_key_mask(table: pa.Table) -> pa.Array:
     """Boolean mask keeping the FIRST row of each consecutive merge-key
     run (table must already be sorted by MERGE_KEY). Compares each row

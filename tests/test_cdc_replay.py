@@ -987,6 +987,10 @@ def test_concurrent_upserts_interleave_safely(ray_session, tmp_path):
             "text": pa.array([tag] * n, pa.large_string()),
         }))
 
+    # the package-level fsspec shim makes Ray's per-write import probe
+    # thread-deterministic (two threads racing a FAILING lazy import
+    # used to kill one with an uncaught ImportError); this test also
+    # exercises that shim
     errs = []
 
     def work(tag):
@@ -998,6 +1002,9 @@ def test_concurrent_upserts_interleave_safely(ray_session, tmp_path):
                 import time
 
                 time.sleep(0.05)
+            except Exception as e:  # loud, not a silent dead thread
+                errs.append(f"{tag}: {type(e).__name__}: {e}")
+                return
         errs.append(f"{tag}: never acquired the lock")
 
     ts = [threading.Thread(target=work, args=(t,)) for t in ("aa", "bb")]
