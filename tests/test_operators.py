@@ -555,3 +555,49 @@ def test_embedding_band_key_beyond_63_planes():
     with np.errstate(over="ignore"):
         w = (1 << np.arange(84)).astype(np.int64)
     assert (chunk1 @ w == chunk2 @ w).all()
+
+
+def test_spec_resolve_keeps_literal_braces(ray_session, tmp_path):
+    """Spec params substitute by exact {name} replacement — a regex
+    pattern with literal braces must survive spec construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_geodata_pipeline_ray.pipelines.spec import build
+
+    pq.write_table(
+        pa.table({"c_name": ["Customer#0001", "Customer#0042"]}),
+        tmp_path / "t.parquet",
+    )
+    spec = {
+        "name": "braces",
+        "steps": [
+            {"op": "read_parquet", "path": "{root}/t.parquet"},
+            {"op": "regex_extract", "column": "c_name",
+             "pattern": r"(?P<num>[0-9]{4})", "output": "num"},
+        ],
+    }
+    out = build(spec, root=str(tmp_path)).to_pandas()
+    assert sorted(out["num"]) == ["0001", "0042"]
+
+
+def test_q19_all_empty_input(ray_session, tmp_path):
+    """q19 over a zero-row lineitem: SQL-consistent empty aggregates,
+    not a np.concatenate crash."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_geodata_pipeline_ray.pipelines.queries import q19_table_stats
+
+    pq.write_table(
+        pa.table({
+            "l_suppkey": pa.array([], pa.int64()),
+            "l_shipdate": pa.array([], pa.timestamp("us")),
+            "l_extendedprice": pa.array([], pa.float64()),
+        }),
+        tmp_path / "lineitem.parquet",
+    )
+    out = q19_table_stats(str(tmp_path))
+    assert out["n_rows"].iloc[0] == 0 and out["n_suppliers"].iloc[0] == 0
+    assert pd.isna(out["first_ship"].iloc[0])
