@@ -37,19 +37,28 @@ def entry() -> Any:
     return read_lake(lake)
 
 
-def _cdc_query(sf_dir: str):
-    """CDC replay sized by sf tier; returns the final lake table
-    (rows-only check: WAL is synthesized, not SQL-visible)."""
-    from etl_geodata_pipeline_ray.cdc.generator import WalSpec, write_wal
-    from etl_geodata_pipeline_ray.cdc.oracle import oracle_final_state
-    from etl_geodata_pipeline_ray.cdc.replay import lake_final_table, replay
+def _cdc_spec_and_root(sf_dir: str):
+    """ONE definition of the q50/q51 WAL spec and its cache root —
+    q51 re-derives the lake path from it, and a one-sided edit would
+    silently read a stale lake from a previous code version."""
+    from etl_geodata_pipeline_ray.cdc.generator import WalSpec
 
     n = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 8000}.get(Path(sf_dir).name, 1000)
     spec = WalSpec(
         n_convs=n, seed=42, dup_rate=0.08, shuffle_window=200,
         schema_change_frac=0.6, zipf_s=1.1, seg_size=max(2000, n * 4),
     )
-    root = Path("/tmp/graft_cdc") / spec.key()
+    return spec, Path("/tmp/graft_cdc") / spec.key()
+
+
+def _cdc_query(sf_dir: str):
+    """CDC replay sized by sf tier; returns the final lake table
+    (rows-only check: WAL is synthesized, not SQL-visible)."""
+    from etl_geodata_pipeline_ray.cdc.generator import write_wal
+    from etl_geodata_pipeline_ray.cdc.oracle import oracle_final_state
+    from etl_geodata_pipeline_ray.cdc.replay import lake_final_table, replay
+
+    spec, root = _cdc_spec_and_root(sf_dir)
     wal, lake = root / "wal", root / "lake"
     write_wal(spec, wal)
     shutil.rmtree(lake, ignore_errors=True)
@@ -84,14 +93,8 @@ def _lake_kpi_query(sf_dir: str):
     from etl_geodata_pipeline_ray.pipelines import lake_queries as LQ
 
     _cdc_query(sf_dir)  # ensures the lake exists (and re-asserts oracle equality)
-    n = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 8000}.get(Path(sf_dir).name, 1000)
-    from etl_geodata_pipeline_ray.cdc.generator import WalSpec
-
-    spec = WalSpec(
-        n_convs=n, seed=42, dup_rate=0.08, shuffle_window=200,
-        schema_change_frac=0.6, zipf_s=1.1, seg_size=max(2000, n * 4),
-    )
-    lake = Path("/tmp/graft_cdc") / spec.key() / "lake"
+    _spec, root = _cdc_spec_and_root(sf_dir)
+    lake = root / "lake"
     counts = LQ.conv_turn_counts(lake)
     ent = LQ.conv_role_entropy(lake)
     eng = LQ.conv_engagement_score(lake)

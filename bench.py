@@ -97,7 +97,7 @@ def run_bench() -> dict:
 
     # min-of-N: this shared VM shows 2x run-to-run noise on identical
     # replays; the minimum is the least-contaminated estimate.
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
     replay_sec, st = None, None
     for _ in range(repeats):
         shutil.rmtree(lake, ignore_errors=True)

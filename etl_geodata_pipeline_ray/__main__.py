@@ -180,7 +180,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(df.head(a.limit).to_string())
                 print(f"[{len(df)} rows]")
         elif a.cmd == "query":
-            sys.path.insert(0, ".")
+            from pathlib import Path as _P
+
+            sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
             import __ray_entry__ as e
 
             res = e.queries()[a.name](a.sf_dir)

@@ -234,6 +234,30 @@ def delivery_order(spec: WalSpec, n: int) -> np.ndarray:
     return idx
 
 
+
+def _mark_complete(wal_dir: Path, paths: list, tag: int = 0) -> None:
+    """Completeness marker: a generator killed mid-write leaves
+    segments WITHOUT the marker, so the resume cache regenerates
+    instead of silently benchmarking a truncated/torn stream."""
+    import json
+
+    (Path(wal_dir) / f"_complete-{tag:06d}.json").write_text(
+        json.dumps({"n_segments": len(paths)})
+    )
+
+
+def _cache_valid(wal_dir: Path, segs: list, tag: int = 0) -> bool:
+    import json
+
+    m = Path(wal_dir) / f"_complete-{tag:06d}.json"
+    if not m.exists():
+        return False
+    try:
+        return json.loads(m.read_text()).get("n_segments") == len(segs)
+    except (OSError, ValueError):
+        return False
+
+
 def write_wal(spec: WalSpec, wal_dir: str | Path, overwrite: bool = False) -> list[Path]:
     """Write WAL segments; returns segment paths in offset order.
 
@@ -243,8 +267,9 @@ def write_wal(spec: WalSpec, wal_dir: str | Path, overwrite: bool = False) -> li
     """
     wal_dir = Path(wal_dir)
     if wal_dir.exists():
-        if not overwrite and any(wal_dir.glob("seg-*.parquet")):
-            return sorted(wal_dir.glob("seg-*.parquet"))
+        segs = sorted(wal_dir.glob("seg-*.parquet"))
+        if not overwrite and segs and _cache_valid(wal_dir, segs):
+            return segs
         shutil.rmtree(wal_dir)
     wal_dir.mkdir(parents=True)
 
@@ -268,6 +293,7 @@ def write_wal(spec: WalSpec, wal_dir: str | Path, overwrite: bool = False) -> li
         p = wal_dir / f"seg-{start:012d}.parquet"
         pq.write_table(seg, p, row_group_size=spec.row_group_size)
         paths.append(p)
+    _mark_complete(wal_dir, paths)
     return paths
 
 
@@ -292,8 +318,9 @@ def write_wal_chunked(
 
     wal_dir = Path(wal_dir)
     if wal_dir.exists():
-        if not overwrite and any(wal_dir.glob("seg-*.parquet")):
-            return sorted(wal_dir.glob("seg-*.parquet"))
+        segs = sorted(wal_dir.glob("seg-*.parquet"))
+        if not overwrite and segs and _cache_valid(wal_dir, segs):
+            return segs
         shutil.rmtree(wal_dir)
     wal_dir.mkdir(parents=True)
 
@@ -347,6 +374,7 @@ def write_wal_chunked(
         conv_base += sub.n_convs
         remaining -= sub.n_convs
         ci += 1
+    _mark_complete(wal_dir, paths)
     return paths
 
 
@@ -479,14 +507,18 @@ def write_wal_parallel(
             from .manifest import segment_offset
 
             offs = [segment_offset(p) for p in existing]
-            if min(offs) >= lo and max(offs) < hi:
+            if min(offs) < lo or max(offs) >= hi:
+                raise ValueError(
+                    f"{wal_dir} holds segments at offsets "
+                    f"[{min(offs)}, {max(offs)}] outside this call's range "
+                    f"[{lo}, {hi}) (chunk_base={chunk_base}); GC the old "
+                    "wave's committed segments first or pass overwrite=True"
+                )
+            if _cache_valid(wal_dir, existing, chunk_base):
                 return existing
-            raise ValueError(
-                f"{wal_dir} holds segments at offsets "
-                f"[{min(offs)}, {max(offs)}] outside this call's range "
-                f"[{lo}, {hi}) (chunk_base={chunk_base}); GC the old "
-                "wave's committed segments first or pass overwrite=True"
-            )
+            # this wave's own crashed/partial generation (no marker):
+            # nothing of it was ever returned to the caller, so nothing
+            # was replayed — safe to regenerate from scratch
         shutil.rmtree(wal_dir)
     wal_dir.mkdir(parents=True)
     task = ray.remote(num_cpus=task_cpus)(_chunk_task)
@@ -508,4 +540,6 @@ def write_wal_parallel(
     paths: list[Path] = []
     for r in refs:
         paths.extend(Path(p) for p in ray.get(r))
-    return sorted(paths)
+    paths = sorted(paths)
+    _mark_complete(wal_dir, paths, chunk_base)
+    return paths

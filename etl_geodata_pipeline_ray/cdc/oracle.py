@@ -23,6 +23,8 @@ def read_wal_unified(wal_dir: str | Path) -> pa.Table:
     (null-filling the late-added ``tool`` column)."""
     paths = sorted(Path(wal_dir).glob("seg-*.parquet"))
     tables = [conform(pq.read_table(p), EVENT_SCHEMA) for p in paths]
+    if not tables:  # empty/nonexistent WAL: empty state, not a crash
+        return EVENT_SCHEMA.empty_table()
     return pa.concat_tables(tables)
 
 

@@ -30,7 +30,13 @@ def tail(
 ) -> list[dict]:
     """Tail ``wal_dir`` until ``idle_polls`` consecutive polls find no
     new committed segments (or ``max_commits`` commits happened).
-    Returns the list of non-empty commit stats."""
+    Returns the list of non-empty commit stats.
+
+    Producer contract: segments must appear ATOMICALLY (write to a
+    temp name, then rename into ``seg-*.parquet``). A poll that races
+    a direct in-place write would read a footerless parquet file and
+    abort the replay.
+    """
     commits: list[dict] = []
     idle = 0
     while True:

@@ -73,6 +73,14 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    if args.smoke:
+        args.waves, args.convs_per_wave, args.chunk_convs = 3, 2_000, 500
+        args.seg_size = 5_000
+        args.num_cpus = min(args.num_cpus, 8)
+        args.object_store_gb = min(args.object_store_gb, 2.0)
+        args.wal = "/tmp/graft_rung_smoke/wal"
+        args.lake = "/tmp/graft_rung_smoke/lake"
+
     import ray
 
     if not ray.is_initialized():
@@ -90,12 +98,6 @@ def main() -> None:
     from etl_geodata_pipeline_ray.cdc.validate import validate_lake
 
     import pyarrow.parquet as pq
-
-    if args.smoke:
-        args.waves, args.convs_per_wave, args.chunk_convs = 3, 2_000, 500
-        args.seg_size = 5_000
-        args.wal = "/tmp/graft_rung_smoke/wal"
-        args.lake = "/tmp/graft_rung_smoke/lake"
 
     wal, lake = Path(args.wal), Path(args.lake)
     shutil.rmtree(wal, ignore_errors=True)
