@@ -317,6 +317,24 @@ GROUP BY o_orderpriority
 EXTRA_QUERIES2["q47_shuffle_join"] = (q47_shuffle_join, Q47_SQL)
 
 
+
+def _pid_root(base: str, sf_dir: str) -> Path:
+    """Per-process scratch root + best-effort GC of DEAD siblings.
+    Each run gets its own pid-keyed tree (two concurrent runs — e.g.
+    bench + a driver compare — must not rmtree each other mid-replay),
+    but without GC every past run leaves a full WAL+lake copy in /tmp
+    forever. A sibling whose pid no longer exists is safe to reclaim."""
+    import shutil
+
+    root = Path(base)
+    if root.exists():
+        for d in root.iterdir():
+            pid = d.name.rsplit("pid", 1)[-1]
+            if pid.isdigit() and not Path(f"/proc/{pid}").exists():
+                shutil.rmtree(d, ignore_errors=True)
+    return root / f"{Path(sf_dir).name}-pid{os.getpid()}"
+
+
 # ---------------------------------------------------------------- q52
 def _events_lake(sf_dir: str) -> Path:
     """Build (rebuild) the deterministic events-derived lake used by
@@ -348,7 +366,7 @@ def _events_lake(sf_dir: str) -> Path:
     )
     # per-process root: two concurrent runs (e.g. bench + a driver
     # compare) must not rmtree each other's WAL/lake mid-replay
-    root = Path("/tmp/graft_q52") / f"{Path(sf_dir).name}-pid{os.getpid()}"
+    root = _pid_root("/tmp/graft_q52", sf_dir)
     wal, lake = root / "wal", root / "lake"
     shutil.rmtree(root, ignore_errors=True)
     wal.mkdir(parents=True)
@@ -734,7 +752,7 @@ def q59_dlq_quarantine(sf_dir: str) -> pd.DataFrame:
         },
         schema=EVENT_SCHEMA,
     )
-    root = Path("/tmp/graft_q59") / f"{Path(sf_dir).name}-pid{os.getpid()}"
+    root = _pid_root("/tmp/graft_q59", sf_dir)
     wal, lake = root / "wal", root / "lake"
     shutil.rmtree(root, ignore_errors=True)
     wal.mkdir(parents=True)
@@ -810,7 +828,7 @@ def q60_lake_diff(sf_dir: str) -> pd.DataFrame:
         },
         schema=EVENT_SCHEMA,
     )
-    root = Path("/tmp/graft_q60") / f"{Path(sf_dir).name}-pid{os.getpid()}"
+    root = _pid_root("/tmp/graft_q60", sf_dir)
     wal, lake = root / "wal", root / "lake"
     shutil.rmtree(root, ignore_errors=True)
     wal.mkdir(parents=True)
@@ -908,7 +926,7 @@ def q61_upsert_lake(sf_dir: str) -> pd.DataFrame:
     first, second = base.slice(0, cut), base.slice(cut)
     second = second.append_column("tool", pa.array(role[cut:]))
 
-    root = Path("/tmp/graft_q61") / f"{Path(sf_dir).name}-pid{os.getpid()}"
+    root = _pid_root("/tmp/graft_q61", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     lake = root / "lake"
     upsert_dataset(ray.data.from_arrow(first), lake, num_shards=16)
