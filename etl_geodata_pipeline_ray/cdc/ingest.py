@@ -10,9 +10,11 @@ publication leaves published-but-uncommitted segments that the next
 upsert (or an explicit ``replay(lake/_ingest, lake)``) commits; a
 crash BEFORE publication leaves only ``.staging-*`` scratch, which is
 never published (unique per run) and is reclaimed by ``gc_ingested``.
-Concurrent upserts are safe: offsets publish via exclusive hard links,
-so two racing upserts interleave distinct segment names and both
-commit under the lake lock.
+Concurrent upserts are safe: a blocking per-stream flock serializes
+base-offset claim → stage → publish, so each upsert carries a distinct
+auto ``op_seq`` (its base offset) and the later-published upsert
+deterministically wins same-``ts`` LWW ties; exclusive hard links are
+a second line of defense against any non-locking writer.
 
 A lake tails exactly ONE stream (segment names are stream offsets —
 ``replay``'s ``wal_id`` guard). Upsert lakes therefore tail their own
@@ -99,7 +101,6 @@ def upsert_dataset(
             )
 
     stream.mkdir(parents=True, exist_ok=True)
-    base = _next_offset(lake_dir, stream)
 
     need = {"conv_id", "turn_idx", "ts"}
     have = set(ds.schema().names)
@@ -109,45 +110,65 @@ def upsert_dataset(
             f"{sorted(need - have)}"
         )
 
-    def to_events(t: pa.Table) -> pa.Table:
-        if "op" not in t.column_names:
-            t = t.append_column(
-                "op", pa.array([op] * t.num_rows, pa.string())
-            )
-        if "op_seq" not in t.column_names:
-            t = t.append_column(
-                "op_seq", pa.nulls(t.num_rows, pa.int64()).fill_null(base)
-            )
-        return conform(t, EVENT_SCHEMA)
-
-    # UNIQUE staging dir: a crashed upsert's leftovers (possibly torn
-    # files) can never be published by a later run, and two concurrent
-    # upserts never stage into each other's scratch
+    import fcntl
     import os
     import uuid
 
-    staging = stream / f".staging-{uuid.uuid4().hex}"
-    ds.map_batches(to_events, batch_format="pyarrow").write_parquet(str(staging))
-    # offset-name the staged files (replay treats names as the stream's
-    # ordered offsets; any monotone unique ints work). Publication is
-    # an EXCLUSIVE hard link: os.link fails if the target exists, so a
-    # concurrent upsert that raced to the same offset can never be
-    # clobbered — the loser just probes the next offset. The link+
-    # unlink pair publishes only complete files (write_parquet
-    # finished above), so replay never sees a half-written segment.
-    nxt = base
-    for p in sorted(staging.glob("*.parquet")):
-        while True:
-            target = stream / f"seg-{nxt:012d}.parquet"
-            try:
-                os.link(p, target)
-            except FileExistsError:
+    # Serialize base-offset claim → stage → publish under a BLOCKING
+    # stream lock: each upsert's auto-filled op_seq is its claimed base
+    # offset, and lock order = base order = publication order, so when
+    # two upserts touch the same key at the same ts, the LATER-
+    # PUBLISHED one deterministically wins the LWW tie. Without this,
+    # two concurrent upserts could both read the same base before
+    # either published and their cross-upsert tie would resolve
+    # arbitrarily. flock auto-releases at process death (no stale-lock
+    # protocol); only upserts contend here — the lake's wal_id guard
+    # above keeps external WAL writers out of this stream.
+    lock_fd = os.open(stream / ".upsert.lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        base = _next_offset(lake_dir, stream)
+
+        def to_events(t: pa.Table) -> pa.Table:
+            if "op" not in t.column_names:
+                t = t.append_column(
+                    "op", pa.array([op] * t.num_rows, pa.string())
+                )
+            if "op_seq" not in t.column_names:
+                t = t.append_column(
+                    "op_seq", pa.nulls(t.num_rows, pa.int64()).fill_null(base)
+                )
+            return conform(t, EVENT_SCHEMA)
+
+        # UNIQUE staging dir: a crashed upsert's leftovers (possibly
+        # torn files) can never be published by a later run
+        staging = stream / f".staging-{uuid.uuid4().hex}"
+        ds.map_batches(to_events, batch_format="pyarrow").write_parquet(
+            str(staging)
+        )
+        # offset-name the staged files (replay treats names as the
+        # stream's ordered offsets; any monotone unique ints work).
+        # Publication is an EXCLUSIVE hard link: os.link fails if the
+        # target exists, so even a non-locking writer that raced to
+        # the same offset can never be clobbered — the loser just
+        # probes the next offset. The link+unlink pair publishes only
+        # complete files (write_parquet finished above), so replay
+        # never sees a half-written segment.
+        nxt = base
+        for p in sorted(staging.glob("*.parquet")):
+            while True:
+                target = stream / f"seg-{nxt:012d}.parquet"
+                try:
+                    os.link(p, target)
+                except FileExistsError:
+                    nxt += 1
+                    continue
+                os.unlink(p)
                 nxt += 1
-                continue
-            os.unlink(p)
-            nxt += 1
-            break
-    staging.rmdir()
+                break
+        staging.rmdir()
+    finally:
+        os.close(lock_fd)  # releases the flock
 
     return replay(stream, lake_dir, num_shards=num_shards, mode=mode, **replay_kw)
 

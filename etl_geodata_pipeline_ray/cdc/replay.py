@@ -55,6 +55,7 @@ import json
 import os
 import shutil
 import uuid
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -782,7 +783,7 @@ def _replay_locked(
     # THE commit point: one O(batch) fsynced record; untouched shards
     # are never rewritten (previously all num_shards manifests were)
     _append_commit_log(lake_dir, commit_id, seg_names)
-    removed = _gc(lake_dir, new_manifests)
+    removed = _fenced_gc(lake_dir, new_manifests, fence)
     timings["commit_gc"] = round(_time.perf_counter() - _t0, 3)
     total_rows = sum(m["rows"] for m in new_manifests.values())
     return {
@@ -881,8 +882,28 @@ def _compact_locked(
         m["bytes"] = sum(f["bytes"] for f in m["files"])
         mf.atomic_write_json(m, mf.manifest_path(lake_dir, sh))
         new_manifests[sh] = m
-    removed = _gc(lake_dir, new_manifests)
+    removed = _fenced_gc(lake_dir, new_manifests, fence)
     return {"shards_compacted": len(by_shard), "gc_files": removed}
+
+
+def _fenced_gc(lake_dir: Path, new_manifests: dict[int, dict], fence) -> int:
+    """GC orphan files, but only while the lease is still provably
+    ours. A zombie that stalled past its lease TTL between the last
+    fence and here could otherwise unlink files a SUCCESSOR's commit
+    just made live (its ``new_manifests`` view is stale). GC is always
+    safe to defer — the next replay/compact under a valid lease sweeps
+    the same orphans — so on a lost lease we skip it, never risk it."""
+    if fence is not None:
+        try:
+            fence()
+        except mf.LeaseFencedError:
+            warnings.warn(
+                "lease lost after commit; skipping GC (orphans will be "
+                "swept by the next replay/compact)",
+                stacklevel=2,
+            )
+            return 0
+    return _gc(lake_dir, new_manifests)
 
 
 def _push_history(old_m: dict | None, retain_versions: int) -> list[dict]:
@@ -1009,13 +1030,18 @@ def _snapshot_manifests(
             f"unknown commit {at_commit!r}; see commit_log() for valid ids"
         )
     target = ranks[at_commit]
-    # A manifest commit id ABSENT from the log is a torn-window write:
-    # manifests land BEFORE the log append (the commit point), so an
-    # unlogged entry is NEWER than every logged commit and must never
-    # be served as any logged commit's state (it is uncommitted until
-    # the recovery replay re-lands it under a logged id). Rank +inf —
-    # excluded from every time-travel target.
+    # A manifest entry with a STRING commit id ABSENT from the log is a
+    # torn-window write: manifests land BEFORE the log append (the
+    # commit point), so an unlogged id is NEWER than every logged
+    # commit and must never be served as any logged commit's state (it
+    # is uncommitted until the recovery replay re-lands it under a
+    # logged id). Rank +inf — excluded from every time-travel target.
+    # An entry with NO commit id at all (``commit: None``) is the
+    # opposite era: written by pre-commit-log code, therefore OLDER
+    # than every logged commit — rank -1 so legacy shards keep serving
+    # their data at every time-travel point instead of reading empty.
     unlogged = math.inf
+    pre_log = -1
     out: dict[int, dict] = {}
     for sh, m in manifests.items():
         entries = [
@@ -1028,10 +1054,16 @@ def _snapshot_manifests(
         ] + m.get("history", [])
         best, best_rank = None, -2
         for e in entries:
-            r = ranks.get(e.get("commit"), unlogged)
+            c = e.get("commit")
+            r = pre_log if c is None else ranks.get(c, unlogged)
             if r <= target and r > best_rank:
                 best, best_rank = e, r
         if best is None:
+            # Every entry carries an unlogged string id here (a None id
+            # would have ranked pre_log and matched). Silent-empty is
+            # only correct when the shard's CREATION is also unlogged
+            # (torn first-ever write, never yet committed) or logged
+            # after the target; anything else is loud.
             first = m.get("first_commit")
             if first is not None and ranks.get(first, unlogged) > target:
                 # shard created after at_commit (or by a torn,
@@ -1040,6 +1072,11 @@ def _snapshot_manifests(
             raise ValueError(
                 f"commit {at_commit!r} is older than shard {sh}'s retained "
                 f"history (retain_versions; see expire_snapshots)"
+                if first is not None
+                else f"shard {sh} has data files but no logged or pre-log "
+                f"manifest entry resolvable at commit {at_commit!r} — "
+                f"corrupt or mixed-era manifest; refusing to serve it "
+                f"as empty"
             )
         if best["files"]:
             out[sh] = {"shard": sh, **best}
@@ -1055,7 +1092,7 @@ def expire_snapshots(lake_dir: str | Path, keep: int = 1, lock_cls=None) -> dict
     writers, and GC racing a remote commit can unlink files the
     in-flight manifests are about to reference)."""
     lake_dir = Path(lake_dir)
-    with (lock_cls or mf.LakeLock)(lake_dir):
+    with (lock_cls or mf.LakeLock)(lake_dir) as lk:
         manifests = mf.read_all_manifests(lake_dir)
         dropped = 0
         for sh, m in manifests.items():
@@ -1067,7 +1104,7 @@ def expire_snapshots(lake_dir: str | Path, keep: int = 1, lock_cls=None) -> dict
             m["history"] = hist[: max(0, keep - 1)]
             mf.atomic_write_json(m, mf.manifest_path(lake_dir, sh))
             manifests[sh] = m
-        removed = _gc(lake_dir, manifests)
+        removed = _fenced_gc(lake_dir, manifests, getattr(lk, "check", None))
         return {"versions_dropped": dropped, "gc_files": removed}
 
 
@@ -1496,8 +1533,12 @@ def _diff_states(a: pa.Table, b: pa.Table, out_schema: pa.Schema) -> pa.Table:
     codes = conv.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
     turn_a = _flat(a["turn_idx"]).to_numpy(zero_copy_only=False).astype(np.int64)
     turn_b = _flat(b["turn_idx"]).to_numpy(zero_copy_only=False).astype(np.int64)
-    key_a = (codes[:n_a] << 32) | turn_a
-    key_b = (codes[n_a:] << 32) | turn_b
+    # mask the turn component to its 32 bits: a negative int32
+    # turn_idx (valid at route(), which only checks non-null) would
+    # otherwise sign-extend into the conv-code bits and collide keys
+    # ACROSS conversations
+    key_a = (codes[:n_a] << 32) | (turn_a & 0xFFFFFFFF)
+    key_b = (codes[n_a:] << 32) | (turn_b & 0xFFFFFFFF)
     is_del_b = pc.equal(b["op"], pa.scalar("D")).combine_chunks().to_numpy(
         zero_copy_only=False
     )

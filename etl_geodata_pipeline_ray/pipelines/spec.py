@@ -27,6 +27,7 @@ hook, ``core/base_analysis.py:109-120``).
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Any, Callable
 
@@ -49,10 +50,27 @@ def _resolve(obj: Any, params: dict) -> Any:
     if isinstance(obj, str):
         # targeted placeholder substitution, NOT str.format: spec
         # values legitimately carry literal braces (regex patterns
-        # like '[0-9]{4}'), which .format would crash on
-        for k, v in params.items():
-            obj = obj.replace("{" + k + "}", str(v))
-        return obj
+        # like '[0-9]{4}'), which .format would crash on. ONE regex
+        # pass, not sequential str.replace: a param VALUE containing
+        # another param's '{name}' text must come out literal, never
+        # double-substituted by a later iteration.
+        if not params:
+            return obj
+        pat = re.compile(
+            "\\{(" + "|".join(re.escape(k) for k in params) + ")(:[^{}]*)?\\}"
+        )
+
+        def sub(m: "re.Match[str]") -> str:
+            if m.group(2):
+                # '{k:03d}'-style format specs were silently passed
+                # through verbatim before; refuse loudly instead
+                raise ValueError(
+                    f"format spec {m.group(0)!r} is not supported in "
+                    f"pipeline specs — pre-format the value in params"
+                )
+            return str(params[m.group(1)])
+
+        return pat.sub(sub, obj)
     if isinstance(obj, dict):
         return {k: _resolve(v, params) for k, v in obj.items()}
     if isinstance(obj, list):

@@ -1,0 +1,170 @@
+"""Round-5 ADVICE regression tests: pre-log-era time travel, fenced
+GC, deterministic same-ts upsert ties, spec substitution, negative
+turn_idx key packing."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from etl_geodata_pipeline_ray.cdc import manifest as mf
+from etl_geodata_pipeline_ray.cdc.replay import (
+    _append_commit_log,
+    _diff_states,
+    _fenced_gc,
+    _snapshot_manifests,
+)
+from etl_geodata_pipeline_ray.cdc.schema import EVENT_SCHEMA
+
+
+def _log(lake, commit_id, segments):
+    (lake / mf.MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
+    _append_commit_log(lake, commit_id, segments)
+
+
+def _shard_manifest(lake, shard, commit, files, first_commit, history=()):
+    m = {
+        "shard": shard,
+        "version": 1,
+        "salt_k": 1,
+        "commit": commit,
+        "first_commit": first_commit,
+        "history": list(history),
+        "files": files,
+        "rows": sum(f["rows"] for f in files),
+        "bytes": 0,
+    }
+    mf.atomic_write_json(m, mf.manifest_path(lake, shard))
+    return m
+
+
+def test_snapshot_manifests_pre_log_era_served(tmp_path):
+    """A manifest entry with NO commit id (written by pre-commit-log
+    code) ranks OLDEST: legacy shards must keep serving their data at
+    every time-travel point, never silently read as empty (round-4
+    ADVICE, medium)."""
+    lake = tmp_path / "lake"
+    _log(lake, "c_logged", ["seg-000000000000.parquet"])
+    f = [{"salt": 0, "path": "shard=00000/x.parquet", "rows": 5, "bytes": 1}]
+    _shard_manifest(lake, 0, None, f, None)  # pure pre-log manifest
+    manifests = mf.read_all_manifests(lake)
+    snap = _snapshot_manifests(lake, manifests, "c_logged")
+    assert 0 in snap and snap[0]["files"] == f
+
+
+def test_snapshot_manifests_torn_head_falls_back_to_history(tmp_path):
+    """An unlogged STRING id is still a torn write: excluded, resolve
+    to the logged history entry instead."""
+    lake = tmp_path / "lake"
+    _log(lake, "c1", ["seg-000000000000.parquet"])
+    old = [{"salt": 0, "path": "shard=00000/old.parquet", "rows": 3, "bytes": 1}]
+    new = [{"salt": 0, "path": "shard=00000/new.parquet", "rows": 9, "bytes": 1}]
+    hist = [{"version": 1, "salt_k": 1, "commit": "c1", "files": old}]
+    _shard_manifest(lake, 0, "torn_unlogged", new, "c1", history=hist)
+    snap = _snapshot_manifests(lake, mf.read_all_manifests(lake), "c1")
+    assert snap[0]["files"] == old
+
+
+def test_snapshot_manifests_corrupt_mixed_era_raises(tmp_path):
+    """All entries unlogged AND no first_commit: a shard with data
+    files that resolves nowhere must raise, not read as empty."""
+    lake = tmp_path / "lake"
+    _log(lake, "c1", [])
+    f = [{"salt": 0, "path": "shard=00000/x.parquet", "rows": 5, "bytes": 1}]
+    _shard_manifest(lake, 0, "unlogged_id", f, None)
+    with pytest.raises(ValueError, match="mixed-era|refusing"):
+        _snapshot_manifests(lake, mf.read_all_manifests(lake), "c1")
+
+
+def test_fenced_gc_skips_on_lost_lease(tmp_path):
+    """A zombie whose lease lapsed between its commit and GC must NOT
+    unlink anything — its manifest view may be stale and the files a
+    successor just committed would read as orphans (round-4 ADVICE)."""
+    lake = tmp_path / "lake"
+    sh = lake / "shard=00000"
+    sh.mkdir(parents=True)
+    orphan = sh / "orphan.parquet"
+    orphan.write_bytes(b"x")
+
+    def dead_fence():
+        raise mf.LeaseFencedError("lease lost")
+
+    with pytest.warns(UserWarning, match="skipping GC"):
+        assert _fenced_gc(lake, {}, dead_fence) == 0
+    assert orphan.exists()
+    # live fence (or none): GC proceeds as before
+    assert _fenced_gc(lake, {}, None) == 1
+    assert not orphan.exists()
+
+
+def test_upsert_same_ts_tie_later_call_wins(ray_session, tmp_path):
+    """Two upserts to the same key at the SAME ts: the later-published
+    call must deterministically win the LWW tie (auto op_seq = claimed
+    base offset; claim→stage→publish serialized per stream)."""
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+    from etl_geodata_pipeline_ray.cdc.replay import lake_final_table
+
+    lake = tmp_path / "lake"
+    ts = pa.array([1_700_000_000_000_000], pa.timestamp("us"))
+
+    def one(text):
+        return ray.data.from_arrow(pa.table({
+            "conv_id": ["k"], "turn_idx": pa.array([0], pa.int32()),
+            "ts": ts, "text": pa.array([text], pa.large_string()),
+        }))
+
+    upsert_dataset(one("first"), lake, num_shards=4)
+    upsert_dataset(one("second"), lake, num_shards=4)
+    t = lake_final_table(lake)
+    assert t.num_rows == 1 and t["text"][0].as_py() == "second"
+    # the second slice's auto op_seq must exceed the first's (distinct
+    # claimed bases), which is what makes the tie deterministic
+    import pyarrow.parquet as pq
+
+    segs = sorted((lake / "_ingest").glob("seg-*.parquet"))
+    seqs = [pq.read_table(s, columns=["op_seq"])["op_seq"][0].as_py()
+            for s in segs]
+    assert len(segs) == 2 and seqs[1] > seqs[0]
+
+
+def test_spec_substitution_single_pass_and_specs_raise():
+    from etl_geodata_pipeline_ray.pipelines.spec import _resolve
+
+    # a param VALUE containing another param's placeholder text stays
+    # literal — no double substitution on later iterations
+    assert _resolve("{a}|{b}", {"a": "{b}", "b": "X"}) == "{b}|X"
+    # regex-style literal braces and unknown placeholders untouched
+    assert _resolve("[0-9]{4} {nope}", {"a": 1}) == "[0-9]{4} {nope}"
+    # '{k:03d}' used to pass through silently under str.replace; loud now
+    with pytest.raises(ValueError, match="format spec"):
+        _resolve("{a:03d}", {"a": 5})
+
+
+def test_diff_states_negative_turn_idx_no_cross_conv_collision():
+    """(code << 32) | turn packing: a negative int32 turn_idx must not
+    sign-extend into the conv-code bits and collide keys across
+    conversations (round-4 ADVICE)."""
+    ts = np.datetime64("2026-01-01T00:00:00", "us")
+    slim = ["conv_id", "turn_idx", "ts", "op_seq", "op"]
+
+    def tbl(rows, with_text=False):
+        cols = slim + (["text"] if with_text else [])
+        t = pa.Table.from_pylist(
+            [dict(zip(cols, r)) for r in rows],
+            schema=pa.schema([EVENT_SCHEMA.field(c) for c in cols]),
+        )
+        return t
+
+    out_schema = pa.schema(list(EVENT_SCHEMA) + [pa.field("change", pa.string())])
+    # pre-fix: key("c0", -1) == key("c1", -1) == -1 → "c1" misread as found
+    from etl_geodata_pipeline_ray.cdc.schema import conform
+
+    a = tbl([("c0", -1, ts, 1, "I")])
+    b = conform(tbl([("c1", -1, ts, 2, "I", "x")], with_text=True), EVENT_SCHEMA)
+    got = _diff_states(a, b, out_schema).to_pylist()
+    by_key = {(r["conv_id"], r["turn_idx"]): r["change"] for r in got}
+    # pre-fix the collision made ("c1", -1) look "found" in `a` and it
+    # came out as "update"; distinct keys classify it as a fresh insert
+    assert by_key == {("c1", -1): "insert"}
