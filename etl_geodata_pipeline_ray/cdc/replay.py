@@ -297,6 +297,66 @@ def _tiered_fold(
     return fold, keep
 
 
+# Zone-mapped payload columns: low-cardinality by construction (role
+# is an enum, tool a bounded tool-name set, op ∈ {I,U,D}), so a file's
+# EXACT distinct-value set is tiny and makes single-column predicate
+# satisfiability decidable from the manifest alone — no footer opens.
+# A file whose cardinality exceeds the cap records no zone (never
+# skipped). Reference analog: scan-level tag filtering at the PBF read
+# (reference data_loader.py:100-108) — prune at the source, not after.
+_ZONE_COLS = ("role", "tool", "op")
+_ZONE_CAP = 64
+
+
+def _file_zones(t: pa.Table) -> dict:
+    """Per-file distinct-value zones for ``_ZONE_COLS``: the manifest-
+    side statistics ``read_lake`` prunes shards with. Sound for ANY
+    single-column predicate because the value set is exact (post-merge
+    rows are a subset of stored rows, values unchanged)."""
+    zones: dict[str, dict] = {}
+    for col in _ZONE_COLS:
+        if col not in t.column_names or t.num_rows == 0:
+            continue
+        vals = pc.unique(t[col].combine_chunks())
+        pys = vals.to_pylist()
+        non_null = [v for v in pys if v is not None]
+        if len(non_null) > _ZONE_CAP:
+            continue
+        zones[col] = {
+            "values": sorted(non_null),
+            "null": len(non_null) < len(pys) or t[col].null_count > 0,
+        }
+    return zones
+
+
+def _zone_may_match(zone: dict | None, col: str, predicate) -> bool:
+    """False only when NO value in the file's recorded zone can satisfy
+    ``predicate`` — a missing zone always may-match."""
+    if zone is None:
+        return True
+    typ = EVENT_SCHEMA.field(col).type
+    vals = list(zone.get("values", []))
+    pys: list = list(vals)
+    if zone.get("null"):
+        pys.append(None)
+    if not pys:
+        return False  # file holds no rows for this column
+    probe = pa.table({col: pa.array(pys, type=typ)})
+    try:
+        return probe.filter(predicate).num_rows > 0
+    except Exception:
+        return True  # unevaluable predicate: never skip on a guess
+
+
+def _zone_prunable_col(predicate, pred_cols: set[str]) -> str | None:
+    """The single zoned column a payload predicate references, if the
+    predicate is eligible for manifest-side pruning."""
+    if predicate is None or len(pred_cols) != 1:
+        return None
+    col = next(iter(pred_cols))
+    return col if col in _ZONE_COLS else None
+
+
 @ray.remote
 def _merge_task(
     lake_dir: str,
@@ -378,6 +438,7 @@ def _merge_task(
         "path": rel,
         "rows": out.num_rows,
         "bytes": nbytes,
+        "zones": _file_zones(out),
     }
 
 
@@ -742,6 +803,7 @@ def _replay_locked(
                     "path": r["path"],
                     "rows": int(r["rows"]),
                     "bytes": int(r["bytes"]),
+                    **({"zones": r["zones"]} if r.get("zones") else {}),
                 }
                 for r in rows
             ),
@@ -873,7 +935,8 @@ def _compact_locked(
         m["files"] = sorted(
             (
                 {"salt": int(r["salt"]), "path": r["path"],
-                 "rows": int(r["rows"]), "bytes": int(r["bytes"])}
+                 "rows": int(r["rows"]), "bytes": int(r["bytes"]),
+                 **({"zones": r["zones"]} if r.get("zones") else {})}
                 for r in rows
             ),
             key=lambda f: f["salt"],
@@ -1333,6 +1396,7 @@ def read_lake(
     include_tombstones: bool = False,
     at_commit: str | None = None,
     predicate=None,
+    plan_info: dict | None = None,
 ) -> ray.data.Dataset:
     """The committed lake as a streaming Dataset (tombstones filtered,
     transcript columns selected). ``at_commit`` time-travels to the
@@ -1350,17 +1414,48 @@ def read_lake(
     non-projected columns behave identically on both lake layouts.
     Remaining asymmetry (documented): when ``tool`` (the late-added
     column) is requested on a compacted lake, the declared subset
-    schema limits predicates to the projected columns."""
+    schema limits predicates to the projected columns.
+
+    Manifest zone maps: a predicate over a single low-cardinality
+    payload column (``_ZONE_COLS``) additionally prunes whole FILES
+    (compacted) / whole SHARDS (multi-run) from the plan using the
+    per-file distinct-value sets the merge tasks record — sound
+    because post-merge rows are a subset of stored rows — so a
+    selective analytical read over a 64-shard uncompacted lake opens
+    only the shards that can possibly match. ``plan_info`` (optional
+    dict) is filled with ``files_total/files_skipped`` or
+    ``shards_total/shards_skipped`` for observability."""
     manifests = mf.read_all_manifests(lake_dir)
     if at_commit is not None:
         manifests = _snapshot_manifests(Path(lake_dir), manifests, at_commit)
     multi_run = any(len(m["files"]) > 1 and m.get("salt_k", 1) < len(m["files"])
                     for m in manifests.values())
+    zone_col = (
+        _zone_prunable_col(predicate, _predicate_fields(predicate, EVENT_SCHEMA))
+        if predicate is not None
+        else None
+    )
+
+    def may_match(f: dict) -> bool:
+        if zone_col is None:
+            return True
+        return _zone_may_match(
+            (f.get("zones") or {}).get(zone_col), zone_col, predicate
+        )
+
+    n_total = sum(len(m["files"]) for m in manifests.values())
+    # per-FILE pruning is only plan-relevant on the compacted layout;
+    # multi-run shards must keep every run for the LWW merge and are
+    # pruned whole-shard below
     files = sorted(
         str(Path(lake_dir) / f["path"])
         for m in manifests.values()
         for f in m["files"]
+        if multi_run or may_match(f)
     )
+    if plan_info is not None and not multi_run:
+        plan_info["files_total"] = n_total
+        plan_info["files_skipped"] = n_total - len(files)
     if not files:
         return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
 
@@ -1406,16 +1501,33 @@ def read_lake(
     # Each task declares the shard's estimated decoded footprint so
     # admission is memory-capped, same as the write-side merges.
     lake_str = str(Path(lake_dir))
-    shard_files = [
-        {"files": [str(Path(lake_str) / f["path"]) for f in m["files"]]}
-        for m in manifests.values()
-        if m["files"]
-    ]
+    scan_filter, post_filter, pred_cols = _plan_predicate(predicate)
+    # zone-map shard skipping: a shard where NO file's recorded value
+    # set can satisfy the (single-column payload) predicate is dropped
+    # from the plan entirely — zero footer opens, zero merge tasks.
+    # Files within a surviving shard are NEVER pruned individually:
+    # the LWW merge needs every revision (a pruned newer non-matching
+    # revision would resurrect an older matching one).
+    shard_files, shards_total, shards_skipped = [], 0, 0
+    for m in manifests.values():
+        if not m["files"]:
+            continue
+        shards_total += 1
+        if zone_col is not None and not any(may_match(f) for f in m["files"]):
+            shards_skipped += 1
+            continue
+        shard_files.append(
+            {"files": [str(Path(lake_str) / f["path"]) for f in m["files"]]}
+        )
+    if plan_info is not None:
+        plan_info["shards_total"] = shards_total
+        plan_info["shards_skipped"] = shards_skipped
+    if not shard_files:
+        return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
     max_shard_bytes = max(
         sum(int(f["bytes"]) for f in m["files"]) for m in manifests.values()
     )
     mem = _merge_mem_bytes(0, max_shard_bytes, 1, 0)
-    scan_filter, post_filter, pred_cols = _plan_predicate(predicate)
     need_mr = (
         sorted(
             set(columns) | {"conv_id", "turn_idx", "ts", "op_seq", "op"} | pred_cols

@@ -129,6 +129,118 @@ def test_upsert_same_ts_tie_later_call_wins(ray_session, tmp_path):
     assert len(segs) == 2 and seqs[1] > seqs[0]
 
 
+def test_zone_map_shard_skipping(ray_session, tmp_path):
+    """Round-5 #1: manifest zone maps prune shards/files for single-
+    column payload predicates. (a) pruned result == unpruned semantics
+    on BOTH lake layouts; (b) the plan counter proves shards/files were
+    actually skipped; (c) a multi-value / negated predicate stays
+    correct; (d) surviving shards never lose files (LWW-merge safety)."""
+    import pyarrow.dataset as pads
+
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+    from etl_geodata_pipeline_ray.cdc.replay import read_lake
+
+    def slab(convs, role, tag):
+        rows = [(c, t, role, f"{tag}-{c}-{t}") for c in convs for t in range(4)]
+        return ray.data.from_arrow(pa.table({
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(len(rows))],
+                           pa.timestamp("us")),
+            "role": [r[2] for r in rows],
+            "text": pa.array([r[3] for r in rows], pa.large_string()),
+        }))
+
+    herd = [f"conv{i}" for i in range(40)]
+    lsm = tmp_path / "lsm"
+    upsert_dataset(slab(herd, "user", "a"), lsm, num_shards=16, mode="append")
+    upsert_dataset(slab(["needle"], "tool", "b"), lsm, num_shards=16,
+                   mode="append")
+    upsert_dataset(slab(herd[:5], "assistant", "c"), lsm, num_shards=16,
+                   mode="append")
+
+    pred = pads.field("role") == "tool"
+    full = read_lake(lsm).to_pandas()
+    want = full[full["role"] == "tool"].sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(want) == 4
+
+    info = {}
+    got = read_lake(lsm, predicate=pred, plan_info=info).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    assert info["shards_total"] >= 14  # shards holding files
+    assert 0 < info["shards_skipped"] < info["shards_total"]
+
+    # (c) is_in + inverted predicates run through the same exact-set
+    # probe; a predicate matching nothing skips everything
+    info2 = {}
+    none = read_lake(
+        lsm, predicate=pads.field("role") == "ghost", plan_info=info2
+    )
+    assert none.count() == 0
+    assert info2["shards_skipped"] == info2["shards_total"] > 0
+    info3 = {}
+    inv = read_lake(
+        lsm, predicate=~pads.field("role").isin(["user", "assistant"]),
+        plan_info=info3,
+    ).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(inv[want.columns.tolist()], want)
+    assert info3["shards_skipped"] > 0
+
+    # compacted layout: per-file pruning, same result
+    from etl_geodata_pipeline_ray.cdc.replay import compact
+
+    compact(lsm)
+    info4 = {}
+    got_c = read_lake(lsm, predicate=pred, plan_info=info4).to_pandas()
+    got_c = got_c.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_c[want.columns.tolist()], want)
+    assert info4["files_skipped"] > 0
+
+    # (d) zones never skip when the predicate references >1 column or
+    # a non-zoned column — plan shows zero skips, result unchanged
+    info5 = {}
+    both = read_lake(
+        lsm,
+        predicate=(pads.field("role") == "tool") & (pads.field("turn_idx") >= 0),
+        plan_info=info5,
+    ).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(both[want.columns.tolist()], want)
+    assert info5.get("files_skipped", 0) == 0
+
+
+def test_zone_map_lww_supersede_not_skipped(ray_session, tmp_path):
+    """A shard whose only 'tool' revision was SUPERSEDED by a newer
+    non-matching revision must still be scanned (zones are per stored
+    file) and must return nothing — pruning is sound, not lossy."""
+    import pyarrow.dataset as pads
+
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+    from etl_geodata_pipeline_ray.cdc.replay import read_lake
+
+    def one(role, ts_off, text):
+        return ray.data.from_arrow(pa.table({
+            "conv_id": ["k"], "turn_idx": pa.array([0], pa.int32()),
+            "ts": pa.array([1_700_000_000_000_000 + ts_off], pa.timestamp("us")),
+            "role": [role], "text": pa.array([text], pa.large_string()),
+        }))
+
+    lake = tmp_path / "lake"
+    upsert_dataset(one("tool", 0, "old"), lake, num_shards=4, mode="append")
+    upsert_dataset(one("user", 1, "new"), lake, num_shards=4, mode="append")
+    info = {}
+    got = read_lake(
+        lake, predicate=pads.field("role") == "tool", plan_info=info
+    ).to_pandas()
+    # the old 'tool' revision is in a stored file → shard NOT skipped;
+    # post-merge the key is role='user' → empty result
+    assert len(got) == 0
+    assert info["shards_skipped"] == info["shards_total"] - 1
+
+
 def test_spec_substitution_single_pass_and_specs_raise():
     from etl_geodata_pipeline_ray.pipelines.spec import _resolve
 
