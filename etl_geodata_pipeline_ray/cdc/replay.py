@@ -1409,12 +1409,12 @@ def read_lake(
     (row-group pruning, payload never decodes); any other predicate is
     applied AFTER the per-shard LWW merge — pre-merge payload
     filtering would be wrong, since a matching stale revision may be
-    superseded by a non-matching newer one — with its referenced
-    columns auto-added to the projection, so predicates on
-    non-projected columns behave identically on both lake layouts.
-    Remaining asymmetry (documented): when ``tool`` (the late-added
-    column) is requested on a compacted lake, the declared subset
-    schema limits predicates to the projected columns.
+    superseded by a non-matching newer one. On BOTH layouts a
+    predicate's referenced columns are auto-added to the scan
+    projection and dropped again by the output projection, so
+    predicates on non-projected columns behave identically everywhere
+    (including when the late-added ``tool`` column forces a declared
+    subset schema on the compacted path).
 
     Manifest zone maps: a predicate over a single low-cardinality
     payload column (``_ZONE_COLS``) additionally prunes whole FILES
@@ -1430,11 +1430,10 @@ def read_lake(
         manifests = _snapshot_manifests(Path(lake_dir), manifests, at_commit)
     multi_run = any(len(m["files"]) > 1 and m.get("salt_k", 1) < len(m["files"])
                     for m in manifests.values())
-    zone_col = (
-        _zone_prunable_col(predicate, _predicate_fields(predicate, EVENT_SCHEMA))
-        if predicate is not None
-        else None
+    pred_fields = (
+        _predicate_fields(predicate, EVENT_SCHEMA) if predicate is not None else set()
     )
+    zone_col = _zone_prunable_col(predicate, pred_fields)
 
     def may_match(f: dict) -> bool:
         if zone_col is None:
@@ -1472,15 +1471,18 @@ def read_lake(
         # `tool`) in files written before the schema change.
         read_schema, need = None, None
         if columns:
-            want = set(columns) | {"op"}
+            # predicate-referenced columns are auto-added to the scan
+            # (and dropped again by the output projection), so a
+            # predicate on a non-projected column behaves identically
+            # on compacted and multi-run layouts — including when the
+            # late-added `tool` forces a declared subset schema below
+            want = set(columns) | {"op"} | pred_fields
             # EVENT_SCHEMA order: the scan validates batches against
             # the declared schema positionally
             need = [f.name for f in EVENT_SCHEMA if f.name in want]
             if "tool" in want:
                 # `tool` is the late-added column: declare the subset
-                # schema so pre-evolution files null-fill it. Trade-off
-                # (documented): with a subset schema the predicate may
-                # only reference projected columns.
+                # schema so pre-evolution files null-fill it
                 read_schema = pa.schema([f for f in EVENT_SCHEMA if f.name in want])
             # else: leave schema unified from footers — the dataset
             # schema stays FULL, so the predicate may reference any

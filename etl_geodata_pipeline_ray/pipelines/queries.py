@@ -495,10 +495,19 @@ def q19_table_stats(sf_dir: str) -> pd.DataFrame:
     in ONE scan: each block emits a partial row (count/min/max/sum +
     its deduped supplier-key set as bytes) and the driver folds ~blocks
     tiny rows — the distinct count rides the same pass instead of a
-    second lineitem scan, and the driver holds at most blocks × key
-    cardinality, never raw rows (HLL, q37, is the sketch path when even
-    that is too big)."""
+    second lineitem scan. Blocks whose distinct-key set exceeds
+    ``supp_cap`` ship a marker instead of bytes, and the distinct
+    count falls back to one distributed dedup-shuffle (exact; the
+    driver fold stays provably bounded at blocks × supp_cap × 8
+    bytes). HLL (q37) remains the sketch path when exactness isn't
+    required."""
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice"])
+    return _table_stats(ds)
+
+
+def _table_stats(
+    ds, supp_cap: int = 65536, plan_info: dict | None = None
+) -> pd.DataFrame:
 
     # ONE explicit Arrow schema for both branches: a pandas-built empty
     # frame infers different types than the value-built one (us-vs-ns
@@ -525,7 +534,14 @@ def q19_table_stats(sf_dir: str) -> pd.DataFrame:
                 "first_ship": [pc.min(t["l_shipdate"]).as_py()],
                 "last_ship": [pc.max(t["l_shipdate"]).as_py()],
                 "total_price": [pc.sum(t["l_extendedprice"]).as_py()],
-                "supp": [supp.astype(np.int64).tobytes()],
+                # above the cap the set is NOT shipped (escape hatch:
+                # the driver fold must stay bounded on adversarial
+                # cardinalities) — a null marks "go distributed"
+                "supp": [
+                    supp.astype(np.int64).tobytes()
+                    if len(supp) <= supp_cap
+                    else None
+                ],
             },
             schema=part_schema,
         )
@@ -538,13 +554,33 @@ def q19_table_stats(sf_dir: str) -> pd.DataFrame:
             "last_ship": pd.Series([pd.NaT], dtype="datetime64[us]"),
             "total_price": [None], "n_suppliers": [0],
         })
-    n_supp = len(
-        np.unique(
-            np.concatenate(
-                [np.frombuffer(r["supp"], dtype=np.int64) for r in parts]
+    if any(r["supp"] is None for r in parts):
+        # bounded path: ONE distributed dedup-shuffle of pre-dedupped
+        # int64 keys; the groupby's row count IS the exact distinct
+        # count and only that scalar reaches the driver
+        if plan_info is not None:
+            plan_info["distinct_path"] = "distributed"
+
+        def uniq(t: pa.Table) -> pa.Table:
+            u = np.unique(t["l_suppkey"].to_numpy(zero_copy_only=False))
+            return pa.table({"l_suppkey": pa.array(u, type=pa.int64())})
+
+        n_supp = int(
+            ds.map_batches(uniq, batch_format="pyarrow")
+            .groupby("l_suppkey")
+            .count()
+            .count()
+        )
+    else:
+        if plan_info is not None:
+            plan_info["distinct_path"] = "driver_fold"
+        n_supp = len(
+            np.unique(
+                np.concatenate(
+                    [np.frombuffer(r["supp"], dtype=np.int64) for r in parts]
+                )
             )
         )
-    )
     out = pd.DataFrame(
         {
             "n_rows": [int(sum(r["n_rows"] for r in parts))],

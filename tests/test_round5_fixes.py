@@ -241,6 +241,48 @@ def test_zone_map_lww_supersede_not_skipped(ray_session, tmp_path):
     assert info["shards_skipped"] == info["shards_total"] - 1
 
 
+def test_read_lake_tool_projection_predicate_parity(ray_session, tmp_path):
+    """Round-5 #8: projecting the late-added `tool` column while
+    filtering on a NON-projected column must behave identically on
+    compacted and multi-run lakes (the last documented layout
+    asymmetry — the compacted subset schema used to reject it)."""
+    import pyarrow.dataset as pads
+
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+    from etl_geodata_pipeline_ray.cdc.replay import compact, read_lake
+
+    def slab(tag):
+        rows = [(f"c{i}", t) for i in range(12) for t in range(6)]
+        return ray.data.from_arrow(pa.table({
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(len(rows))],
+                           pa.timestamp("us")),
+            "tool": [f"{tag}{r[1]}" for r in rows],
+            "text": pa.array([f"{tag}-{r[0]}-{r[1]}" for r in rows],
+                             pa.large_string()),
+        }))
+
+    multi = tmp_path / "multi"
+    upsert_dataset(slab("x"), multi, num_shards=4, mode="append")
+    upsert_dataset(slab("y"), multi, num_shards=4, mode="append")
+    compacted = tmp_path / "compacted"
+    upsert_dataset(slab("x"), compacted, num_shards=4, mode="append")
+    upsert_dataset(slab("y"), compacted, num_shards=4, mode="append")
+    compact(compacted)
+
+    pred = pads.field("turn_idx") >= 4  # NOT projected below
+    outs = []
+    for lk in (multi, compacted):
+        t = read_lake(lk, columns=["tool"], predicate=pred).to_pandas()
+        assert list(t.columns) == ["tool"]
+        outs.append(t["tool"].sort_values().reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_series_equal(outs[0], outs[1])
+    assert len(outs[0]) == 12 * 2 and set(outs[0]) == {"y4", "y5"}
+
+
 def test_train_centroids_distributed_million_vectors(ray_session):
     """Round-5 #2: IVF centroid training is distributed — 10^6 vectors
     train without the vectors ever materializing on the driver (only
@@ -281,6 +323,35 @@ def test_train_centroids_distributed_million_vectors(ray_session):
     truth = np.eye(K, DIM)
     cos = truth @ C.T  # unit rows both sides
     assert (cos.max(axis=1) > 0.9).all(), cos.max(axis=1)
+
+
+def test_table_stats_high_cardinality_bounded_path(ray_session):
+    """Round-5 #5: q19's distinct fold escapes to a distributed dedup
+    shuffle when a block's distinct-key set exceeds the cap — exact
+    answer either way, driver fold provably bounded."""
+    from etl_geodata_pipeline_ray.pipelines.queries import _table_stats
+
+    n = 10_000
+    ts = np.datetime64("2026-01-01", "us") + np.arange(n).astype("timedelta64[s]")
+    adversarial = ray.data.from_arrow(pa.table({
+        "l_suppkey": pa.array(np.arange(n), type=pa.int64()),  # all distinct
+        "l_shipdate": pa.array(ts),
+        "l_extendedprice": pa.array(np.ones(n)),
+    }))
+    info = {}
+    out = _table_stats(adversarial, supp_cap=100, plan_info=info)
+    assert info["distinct_path"] == "distributed"
+    assert out["n_suppliers"].iloc[0] == n and out["n_rows"].iloc[0] == n
+
+    tame = ray.data.from_arrow(pa.table({
+        "l_suppkey": pa.array(np.arange(n) % 50, type=pa.int64()),
+        "l_shipdate": pa.array(ts),
+        "l_extendedprice": pa.array(np.ones(n)),
+    }))
+    info2 = {}
+    out2 = _table_stats(tame, supp_cap=100, plan_info=info2)
+    assert info2["distinct_path"] == "driver_fold"
+    assert out2["n_suppliers"].iloc[0] == 50
 
 
 def test_spec_substitution_single_pass_and_specs_raise():
