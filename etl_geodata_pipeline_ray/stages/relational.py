@@ -377,6 +377,15 @@ def shuffle_join(
     return both.groupby("_bucket").map_groups(run, batch_format="pandas")
 
 
+# Planner switch for smart_join's large-large path. "shuffle" =
+# bucketed shuffle_join (robust on Ray 2.49, where Dataset.join's
+# aggregator actors livelock below ~4 CPUs); flip to "native" to route
+# through hash_join once the skipped-by-default Ray-upgrade canary
+# (tests/test_operators.py::test_native_join_livelock_canary) passes
+# on the upgraded Ray.
+LARGE_LARGE_PATH = "shuffle"
+
+
 def smart_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -411,6 +420,11 @@ def smart_join(
             return broadcast_join(
                 left, small, keys=on, join_type=join_type, right_keys=right_on
             )
+    if LARGE_LARGE_PATH == "native" and join_type in ("inner", "left"):
+        return hash_join(
+            left, right, on=on, right_on=right_on, join_type=join_type,
+            num_partitions=num_partitions,
+        )
     return shuffle_join(
         left, right, on=on, right_on=right_on, join_type=join_type,
         n_buckets=num_partitions,

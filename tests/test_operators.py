@@ -601,3 +601,43 @@ def test_q19_all_empty_input(ray_session, tmp_path):
     out = q19_table_stats(str(tmp_path))
     assert out["n_rows"].iloc[0] == 0 and out["n_suppliers"].iloc[0] == 0
     assert pd.isna(out["first_ship"].iloc[0])
+
+
+@pytest.mark.skipif(
+    __import__("ray").__version__.startswith("2.49"),
+    reason="Ray 2.49 Dataset.join aggregator actors livelock below ~4 "
+    "CPUs (pinned; smart_join routes large-large through shuffle_join "
+    "via relational.LARGE_LARGE_PATH). Unskips automatically on a Ray "
+    "upgrade: if it then passes, flip LARGE_LARGE_PATH to 'native'.",
+)
+def test_native_join_livelock_canary():
+    """Ray-upgrade canary for the Dataset.join low-CPU livelock: runs
+    hash_join in a fresh 2-CPU subprocess with a hard timeout. Passing
+    means the native join is safe again and smart_join's planner
+    switch (relational.LARGE_LARGE_PATH) can move to 'native'."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import ray, pyarrow as pa
+        import ray.data
+        ray.init(address="local", num_cpus=2, include_dashboard=False)
+        from etl_geodata_pipeline_ray.stages.relational import hash_join
+        left = ray.data.from_arrow(pa.table({"k": list(range(2000)), "a": list(range(2000))}))
+        right = ray.data.from_arrow(pa.table({"k": list(range(0, 2000, 2)), "b": list(range(1000))}))
+        out = hash_join(left, right, on=["k"], num_partitions=4)
+        assert out.count() == 1000
+        print("CANARY_OK")
+        ray.shutdown()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=240,  # livelock manifests as a hang; timeout == failure
+    )
+    assert proc.returncode == 0 and "CANARY_OK" in proc.stdout, proc.stderr[-2000:]
