@@ -201,6 +201,104 @@ def run_scaling() -> dict:
     }
 
 
+def run_tail() -> dict:
+    """Steady-state ingest: a producer thread trickles the WAL's
+    segments into a watched dir at a fixed arrival rate while
+    ``tail()`` commits them — the CDC engine's actual production
+    shape. Reports p50/p95 per-commit latency, sustained events/s,
+    and oracle equality of the final lake."""
+    import threading
+
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level=logging.ERROR,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from etl_geodata_pipeline_ray.cdc.generator import WalSpec, write_wal
+    from etl_geodata_pipeline_ray.cdc.oracle import oracle_final_state
+    from etl_geodata_pipeline_ray.cdc.replay import lake_final_table
+    from etl_geodata_pipeline_ray.cdc.tail import tail
+
+    spec = WalSpec(
+        n_convs=int(os.environ.get("GRAFT_TAIL_CONVS", "120000")),
+        mean_turns=10.0,
+        words_per_text=24,
+        dup_rate=0.08,
+        shuffle_window=500,
+        schema_change_frac=0.5,
+        zipf_s=1.1,
+        seg_size=100_000,
+        seed=7,
+    )
+    src = BENCH_ROOT / spec.key() / "wal"
+    write_wal(spec, src)  # cached
+    segs = sorted(src.glob("seg-*.parquet"))
+    import pyarrow.parquet as _pq
+
+    n_events = sum(_pq.ParquetFile(p).metadata.num_rows for p in segs)
+
+    live = BENCH_ROOT / spec.key() / f"tail_live_{NUM_CPUS}"
+    lake = BENCH_ROOT / spec.key() / f"tail_lake_{NUM_CPUS}"
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.rmtree(lake, ignore_errors=True)
+    live.mkdir(parents=True)
+
+    interval = float(os.environ.get("GRAFT_TAIL_INTERVAL", "1.0"))
+    t_start = time.perf_counter()
+
+    def producer():
+        for p in segs:
+            # atomic arrival: copy to temp, rename into the watched name
+            tmp = live / f".tmp-{p.name}"
+            shutil.copyfile(p, tmp)
+            os.replace(tmp, live / p.name)
+            time.sleep(interval)
+
+    prod = threading.Thread(target=producer, daemon=True)
+    prod.start()
+    commits = tail(
+        live,
+        lake,
+        poll_interval_s=0.2,
+        idle_polls=int(5 + interval / 0.2) + 10,
+        num_shards=32,
+        mode="append",
+    )
+    elapsed = time.perf_counter() - t_start
+    prod.join()
+    walls = [c["wall_sec"] for c in commits]
+    match = lake_final_table(lake).equals(oracle_final_state(src))
+    ray.shutdown()
+    return {
+        "metric": "tail_commit_latency_p95_sec",
+        "value": round(float(np.percentile(walls, 95)), 3),
+        "unit": "sec",
+        "commit_latency_p50_sec": round(float(np.percentile(walls, 50)), 3),
+        "commits": len(commits),
+        "segments": len(segs),
+        "events": n_events,
+        "arrival_events_per_sec": round(n_events / (interval * len(segs))),
+        "sustained_events_per_sec": round(n_events / elapsed),
+        "elapsed_sec": round(elapsed, 3),
+        "oracle_match": bool(match),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
-    result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    elif "--tail" in sys.argv:
+        result = run_tail()
+    else:
+        result = run_bench()
     print(json.dumps(result))

@@ -40,7 +40,11 @@ def tail(
     commits: list[dict] = []
     idle = 0
     while True:
+        _t0 = time.perf_counter()
         stats = replay(wal_dir, lake_dir, **replay_kw)
+        # end-to-end commit latency of this poll's batch (bench.py
+        # --tail reports its p50/p95 under a live trickling WAL)
+        stats["wall_sec"] = round(time.perf_counter() - _t0, 3)
         if stats["committed_segments"] > 0:
             commits.append(stats)
             idle = 0
