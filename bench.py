@@ -265,6 +265,14 @@ def run_tail() -> dict:
 
     prod = threading.Thread(target=producer, daemon=True)
     prod.start()
+    last_commit_done = {"t": t_start}
+
+    def on_commit(_stats):
+        # sustained throughput ends at the LAST COMMIT's completion —
+        # tail()'s trailing idle-poll drain is shutdown cost, not
+        # ingest, and would deflate the number by idle_polls × poll
+        last_commit_done["t"] = time.perf_counter()
+
     commits = tail(
         live,
         lake,
@@ -272,8 +280,9 @@ def run_tail() -> dict:
         idle_polls=int(5 + interval / 0.2) + 10,
         num_shards=32,
         mode="append",
+        on_commit=on_commit,
     )
-    elapsed = time.perf_counter() - t_start
+    elapsed = last_commit_done["t"] - t_start
     prod.join()
     walls = [c["wall_sec"] for c in commits]
     match = lake_final_table(lake).equals(oracle_final_state(src))

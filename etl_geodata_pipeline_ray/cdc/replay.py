@@ -1157,6 +1157,13 @@ def expire_snapshots(lake_dir: str | Path, keep: int = 1, lock_cls=None) -> dict
     lake_dir = Path(lake_dir)
     with (lock_cls or mf.LakeLock)(lake_dir) as lk:
         manifests = mf.read_all_manifests(lake_dir)
+        # fencing point BEFORE any manifest write (same discipline as
+        # _replay_locked): a zombie past its lease TTL must abort here,
+        # or its stale trimmed manifests would clobber a successor's
+        # newer committed state
+        check = getattr(lk, "check", None)
+        if check is not None:
+            check()
         dropped = 0
         for sh, m in manifests.items():
             hist = m.get("history", [])
@@ -1365,7 +1372,7 @@ def _predicate_fields(predicate, schema: pa.Schema) -> set[str]:
     return refs
 
 
-def _plan_predicate(predicate):
+def _plan_predicate(predicate, fields: set | None = None):
     """Predicate plan for the multi-run (LSM) read path.
 
     Returns ``(scan_filter, post_filter, extra_cols)``:
@@ -1384,7 +1391,11 @@ def _plan_predicate(predicate):
     """
     if predicate is None:
         return None, None, set()
-    refs = _predicate_fields(predicate, EVENT_SCHEMA)
+    refs = (
+        fields
+        if fields is not None
+        else _predicate_fields(predicate, EVENT_SCHEMA)
+    )
     if refs and refs <= set(MERGE_KEY):
         return predicate, None, set()
     return None, predicate, refs
@@ -1503,7 +1514,7 @@ def read_lake(
     # Each task declares the shard's estimated decoded footprint so
     # admission is memory-capped, same as the write-side merges.
     lake_str = str(Path(lake_dir))
-    scan_filter, post_filter, pred_cols = _plan_predicate(predicate)
+    scan_filter, post_filter, pred_cols = _plan_predicate(predicate, pred_fields)
     # zone-map shard skipping: a shard where NO file's recorded value
     # set can satisfy the (single-column payload) predicate is dropped
     # from the plan entirely — zero footer opens, zero merge tasks.

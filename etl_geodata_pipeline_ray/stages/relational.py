@@ -158,9 +158,13 @@ def hash_join(
     ``Dataset.join``. NOTE: on Ray 2.49 the join aggregator actors can
     livelock below ~4 CPUs — ``shuffle_join`` below is the robust
     bucketed-shuffle fallback and the default large-large path."""
+    # this module's join_type vocabulary ("left") → Ray's ("left_outer")
+    native_type = {"left": "left_outer", "right": "right_outer"}.get(
+        join_type, join_type
+    )
     return left.join(
         right,
-        join_type=join_type,
+        join_type=native_type,
         num_partitions=num_partitions,
         on=tuple(on),
         right_on=tuple(right_on) if right_on else None,

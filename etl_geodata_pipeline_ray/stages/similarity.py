@@ -113,7 +113,7 @@ def train_centroids(
     (the one training stage that couldn't grow with the cluster; FAISS
     trains IVF on samples, but the SAMPLE here can now be millions of
     rows across the cluster). Early-stops when the max centroid shift
-    drops under ``tol``. Only ``n_centroids * 32`` seed rows ever
+    drops under ``tol``. Only a few strided seed candidates per batch ever
     reach the driver."""
     if sample_fraction < 1.0:
         sample = ds.random_sample(sample_fraction, seed=seed)
@@ -121,11 +121,28 @@ def train_centroids(
         sample = ds
     sample = sample.limit(max_train_rows).materialize()
 
-    # init: k seed vectors from a k-bounded head sample (driver holds
-    # O(k·dim), not the training set)
-    seed_rows = sample.limit(max(n_centroids * 32, n_centroids)).take_all()
+    # init: every BATCH contributes a few evenly-strided candidate
+    # vectors, so the k-bounded seed pool spans the whole dataset even
+    # when it arrives sorted/clustered (a head `limit()` would draw all
+    # seeds from one region and Lloyd would merge true clusters).
+    # Driver holds O(n_batches·dim) candidates, never the training set.
+    per_batch = 4
+
+    def seed_cand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([emb_col])
+        idx = np.unique(
+            np.linspace(0, t.num_rows - 1, min(per_batch, t.num_rows)).astype(
+                np.int64
+            )
+        )
+        return t.select([emb_col]).take(idx)
+
+    cand_rows = sample.map_batches(
+        seed_cand, batch_format="pyarrow"
+    ).take_all()
     X0 = _normalize(
-        np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in seed_rows])
+        np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in cand_rows])
     )
     rng = np.random.default_rng(seed)
     C = X0[rng.choice(len(X0), size=min(n_centroids, len(X0)), replace=False)]

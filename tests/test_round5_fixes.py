@@ -354,6 +354,37 @@ def test_table_stats_high_cardinality_bounded_path(ray_session):
     assert out2["n_suppliers"].iloc[0] == 50
 
 
+def test_train_centroids_sorted_input_seed_diversity(ray_session):
+    """Seeds are strided across ALL batches: on input sorted by
+    cluster (contiguous blocks, the read_lake-ordered shape) the seed
+    pool must still span every cluster — a head-limit draw would
+    initialize every centroid inside cluster 0 and merge true
+    clusters."""
+    from etl_geodata_pipeline_ray.stages.similarity import train_centroids
+
+    DIM, K, N = 16, 4, 40_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy()
+        cl = ids // (N // K)  # CONTIGUOUS cluster blocks, sorted input
+        rng = np.random.default_rng(int(ids[0]) + 1)
+        emb = np.eye(K, DIM)[np.minimum(cl, K - 1)] * 5.0
+        emb = emb + rng.normal(0, 0.2, (len(ids), DIM))
+        return pa.table({
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), type=pa.float64()), DIM
+            ),
+        })
+
+    ds = ray.data.range(N).map_batches(gen, batch_format="pyarrow")
+    C = train_centroids(
+        ds, n_centroids=K, sample_fraction=1.0, dim=DIM, iters=8,
+        max_train_rows=N,
+    )
+    cos = np.eye(K, DIM) @ C.T
+    assert (cos.max(axis=1) > 0.9).all(), cos.max(axis=1)
+
+
 def test_spec_substitution_single_pass_and_specs_raise():
     from etl_geodata_pipeline_ray.pipelines.spec import _resolve
 
