@@ -34,20 +34,28 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _spill_mb() -> float:
-    """Object-store bytes spilled to disk so far (MiB), from Ray's
-    memory summary; 0.0 if the line is absent (no spill yet)."""
-    try:
-        from ray._private.internal_api import memory_summary
+def _spill_mb() -> float | None:
+    """Cumulative object-store spill (MiB) for THIS session, from the
+    raylet log's periodic "Spilled N MiB" counter. (The previous
+    memory_summary() path can never work in this container — no grpc
+    module — and its silent 0.0 fallback under-reported spill; spilled
+    object FILES are deleted on release, so the log counter is the
+    only honest cumulative source.) 0.0 = no spill line yet; None =
+    log unavailable — never fake a zero."""
+    import re
 
-        txt = memory_summary(stats_only=True)
-        for line in txt.splitlines():
-            if "Spilled" in line:
-                # "Spilled 1234 MiB, ..."
-                return float(line.split("Spilled")[1].split("MiB")[0].strip())
+    try:
+        import ray._private.worker as _w
+
+        log = Path(_w._global_node.get_session_dir_path()) / "logs" / "raylet.out"
+        with open(log, "rb") as f:
+            f.seek(0, 2)
+            f.seek(max(0, f.tell() - 512 * 1024))
+            txt = f.read().decode(errors="replace")
+        hits = re.findall(r"Spilled (\d+) MiB", txt)
+        return float(hits[-1]) if hits else 0.0
     except Exception:
-        pass
-    return 0.0
+        return None
 
 
 def _dir_bytes(p: Path) -> int:
