@@ -20,6 +20,9 @@ verdict rows) and checks:
       row/byte counts, only known reasons appear, and no quarantined
       row carries a valid (op, merge-key) combination — i.e. nothing
       was dead-lettered that should have merged
+  I7  manifest zone maps are SOUND: a file's recorded distinct-value
+      set covers every value actually stored in it (an under-covering
+      zone would let read_lake's pruning skip matching shards)
 """
 
 from __future__ import annotations
@@ -57,6 +60,7 @@ def validate_lake(lake_dir: str | Path) -> dict:
                     "expect_rows": frec["rows"],
                     "expect_bytes": frec["bytes"],
                     "check_dups": fully_compacted,
+                    "zones_json": json.dumps(frec.get("zones") or {}),
                 }
             )
     if not items:
@@ -90,6 +94,17 @@ def validate_lake(lake_dir: str | Path) -> dict:
             sh_all = shard_of(hash_u64(t["conv_id"].combine_chunks()), num_shards)
             if not (sh_all == int(it["shard"])).all():
                 v.append("I4 misrouted rows present")
+            for col, z in json.loads(it["zones_json"]).items():
+                if col not in t.column_names:
+                    continue
+                stored = set(pc.unique(t[col]).to_pylist())
+                has_null = None in stored
+                stored.discard(None)
+                extra = stored - set(z.get("values", []))
+                if extra:
+                    v.append(f"I7 zone[{col}] misses values {sorted(extra)[:5]}")
+                if has_null and not z.get("null"):
+                    v.append(f"I7 zone[{col}] misses null")
             out.append({"path": it["path"], "violations": "; ".join(v)})
         return pd.DataFrame(out)
 

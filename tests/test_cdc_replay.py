@@ -363,6 +363,20 @@ def test_validate_lake_invariants(ray_session, tmp_path):
     replay(wal, lake2, num_shards=8, mode="append")
     assert validate_lake(lake2)["ok"]
 
+    # corrupt one manifest zone → I7 must fire (an under-covering
+    # zone would let read_lake's pruning skip matching shards)
+    import json as _json
+
+    from etl_geodata_pipeline_ray.cdc import manifest as _mf
+
+    mpath = sorted((lake2 / _mf.MANIFEST_DIR).glob("shard-*.json"))[0]
+    m = _json.loads(mpath.read_text())
+    zoned = next(f for f in m["files"] if (f.get("zones") or {}).get("role"))
+    zoned["zones"]["role"]["values"] = ["ghost_only"]
+    _mf.atomic_write_json(m, mpath)
+    bad2 = validate_lake(lake2)
+    assert not bad2["ok"] and any("I7 zone[role]" in v for v in bad2["violations"])
+
     # corrupt one committed file → I5 must fire
     f = sorted(lake.glob("shard=*/**/*.parquet"))[0]
     t = _pq.read_table(f)
