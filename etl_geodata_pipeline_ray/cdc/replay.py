@@ -309,10 +309,12 @@ _ZONE_CAP = 64
 
 
 def _file_zones(t: pa.Table) -> dict:
-    """Per-file distinct-value zones for ``_ZONE_COLS``: the manifest-
-    side statistics ``read_lake`` prunes shards with. Sound for ANY
-    single-column predicate because the value set is exact (post-merge
-    rows are a subset of stored rows, values unchanged)."""
+    """Per-file zones: the manifest-side statistics ``read_lake``
+    prunes shards with. ``_ZONE_COLS`` record their exact distinct-
+    value set (sound for ANY single-column predicate — post-merge rows
+    are a subset of stored rows, values unchanged); ``ts`` records its
+    [min, max] range (µs since epoch) for ``ts_range`` time-slice
+    reads — the CDC-natural "rows stamped in this window" scan."""
     zones: dict[str, dict] = {}
     for col in _ZONE_COLS:
         if col not in t.column_names or t.num_rows == 0:
@@ -326,6 +328,11 @@ def _file_zones(t: pa.Table) -> dict:
             "values": sorted(non_null),
             "null": len(non_null) < len(pys) or t[col].null_count > 0,
         }
+    if "ts" in t.column_names and t.num_rows:
+        mm = pc.min_max(t["ts"])
+        lo, hi = mm["min"].value, mm["max"].value
+        if lo is not None:
+            zones["ts"] = {"min": int(lo), "max": int(hi)}
     return zones
 
 
@@ -355,6 +362,22 @@ def _zone_prunable_col(predicate, pred_cols: set[str]) -> str | None:
         return None
     col = next(iter(pred_cols))
     return col if col in _ZONE_COLS else None
+
+
+def _ts_bounds_us(ts_range) -> tuple[int, int]:
+    """Normalize a ``(lo, hi)`` time-slice (either side may be None =
+    unbounded; int = µs since epoch; else anything pyarrow casts to
+    timestamp[us]) to inclusive integer µs bounds."""
+    lo, hi = ts_range
+
+    def to_us(v, default):
+        if v is None:
+            return default
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        return int(pa.scalar(v).cast(pa.timestamp("us")).value)
+
+    return to_us(lo, -(2**62)), to_us(hi, 2**62)
 
 
 @ray.remote
@@ -1407,6 +1430,7 @@ def read_lake(
     include_tombstones: bool = False,
     at_commit: str | None = None,
     predicate=None,
+    ts_range: tuple | None = None,
     plan_info: dict | None = None,
 ) -> ray.data.Dataset:
     """The committed lake as a streaming Dataset (tombstones filtered,
@@ -1433,9 +1457,14 @@ def read_lake(
     per-file distinct-value sets the merge tasks record — sound
     because post-merge rows are a subset of stored rows — so a
     selective analytical read over a 64-shard uncompacted lake opens
-    only the shards that can possibly match. ``plan_info`` (optional
-    dict) is filled with ``files_total/files_skipped`` or
-    ``shards_total/shards_skipped`` for observability."""
+    only the shards that can possibly match. ``ts_range=(lo, hi)``
+    (either side None = unbounded; int µs or anything pyarrow casts to
+    timestamp) is the time-slice read: rows whose MERGED revision is
+    stamped inside the window, pruned the same way via per-file ts
+    [min,max] zones and filtered post-merge (scan-level on compacted
+    lakes). ``plan_info`` (optional dict) is filled with
+    ``files_total/files_skipped`` or ``shards_total/shards_skipped``
+    for observability."""
     manifests = mf.read_all_manifests(lake_dir)
     if at_commit is not None:
         manifests = _snapshot_manifests(Path(lake_dir), manifests, at_commit)
@@ -1445,13 +1474,27 @@ def read_lake(
         _predicate_fields(predicate, EVENT_SCHEMA) if predicate is not None else set()
     )
     zone_col = _zone_prunable_col(predicate, pred_fields)
+    ts_lo = ts_hi = None
+    ts_expr = None
+    if ts_range is not None:
+        import pyarrow.dataset as pads
+
+        ts_lo, ts_hi = _ts_bounds_us(ts_range)
+        ts_expr = (
+            pads.field("ts") >= pa.scalar(ts_lo, pa.timestamp("us"))
+        ) & (pads.field("ts") <= pa.scalar(ts_hi, pa.timestamp("us")))
 
     def may_match(f: dict) -> bool:
+        z = f.get("zones") or {}
+        if ts_range is not None:
+            tz = z.get("ts")
+            # a file whose [min,max] ts range misses the slice cannot
+            # contribute a post-merge row inside it (subset argument)
+            if tz is not None and (tz["min"] > ts_hi or tz["max"] < ts_lo):
+                return False
         if zone_col is None:
             return True
-        return _zone_may_match(
-            (f.get("zones") or {}).get(zone_col), zone_col, predicate
-        )
+        return _zone_may_match(z.get(zone_col), zone_col, predicate)
 
     n_total = sum(len(m["files"]) for m in manifests.values())
     # per-FILE pruning is only plan-relevant on the compacted layout;
@@ -1488,6 +1531,8 @@ def read_lake(
             # on compacted and multi-run layouts — including when the
             # late-added `tool` forces a declared subset schema below
             want = set(columns) | {"op"} | pred_fields
+            if ts_range is not None:
+                want |= {"ts"}
             # EVENT_SCHEMA order: the scan validates batches against
             # the declared schema positionally
             need = [f.name for f in EVENT_SCHEMA if f.name in want]
@@ -1498,8 +1543,13 @@ def read_lake(
             # else: leave schema unified from footers — the dataset
             # schema stays FULL, so the predicate may reference any
             # event column while only `need` is decoded
+        scan_pred = predicate
+        if ts_expr is not None:
+            # compacted == already merged, so the time slice is safe
+            # at the scan (row-group pruned by parquet ts stats)
+            scan_pred = ts_expr if scan_pred is None else scan_pred & ts_expr
         ds = ray.data.read_parquet(
-            files, columns=need, schema=read_schema, filter=predicate
+            files, columns=need, schema=read_schema, filter=scan_pred
         )
         if not include_tombstones:
             ds = ds.map_batches(finalize, batch_format="pyarrow")
@@ -1526,7 +1576,9 @@ def read_lake(
         if not m["files"]:
             continue
         shards_total += 1
-        if zone_col is not None and not any(may_match(f) for f in m["files"]):
+        if (zone_col is not None or ts_range is not None) and not any(
+            may_match(f) for f in m["files"]
+        ):
             shards_skipped += 1
             continue
         shard_files.append(
@@ -1568,6 +1620,11 @@ def read_lake(
             t = lww_merge_sorted(t)
             if post_filter is not None:
                 t = t.filter(post_filter)
+            if ts_expr is not None:
+                # the time slice selects MERGED revisions, so it must
+                # run post-merge here (an in-slice stale revision may
+                # be superseded by an out-of-slice newer one)
+                t = t.filter(ts_expr)
             if not include_tombstones:
                 t = finalize(t)
             elif columns:

@@ -97,6 +97,15 @@ def validate_lake(lake_dir: str | Path) -> dict:
             for col, z in json.loads(it["zones_json"]).items():
                 if col not in t.column_names:
                     continue
+                if "values" not in z:
+                    # range zone (ts): stored [min,max] must lie inside
+                    mm = pc.min_max(t[col])
+                    lo, hi = mm["min"].value, mm["max"].value
+                    if lo is not None and (
+                        int(lo) < z["min"] or int(hi) > z["max"]
+                    ):
+                        v.append(f"I7 zone[{col}] range misses stored values")
+                    continue
                 stored = set(pc.unique(t[col]).to_pylist())
                 has_null = None in stored
                 stored.discard(None)

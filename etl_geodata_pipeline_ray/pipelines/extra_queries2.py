@@ -937,3 +937,58 @@ def q61_upsert_lake(sf_dir: str) -> pd.DataFrame:
 Q61_SQL = Q52_SQL  # identical derivation, ingested via upsert_dataset
 
 EXTRA_QUERIES2["q61_upsert_lake"] = (q61_upsert_lake, Q61_SQL)
+
+
+# ---------------------------------------------------------------- q62
+def q62_time_slice(sf_dir: str) -> pd.DataFrame:
+    """Time-slice lake read (``read_lake(ts_range=...)``): the final
+    state restricted to rows whose MERGED revision is stamped in the
+    upper half of the stream's time span — the CDC-natural "what
+    changed since T" scan. Pruned via per-file ts [min,max] manifest
+    zones (zero footer opens for out-of-window shards) and filtered
+    post-merge, so an in-window stale revision superseded by an
+    out-of-window newer one is correctly absent. Oracle: the q52
+    window-function final state WHERE ts >= the same cutoff."""
+    import pyarrow.parquet as pq
+
+    from ..cdc.replay import read_lake
+
+    lake = _events_lake(sf_dir)
+    mm = pc.min_max(pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"])
+    lo = int(mm["min"].cast(pa.timestamp("us")).value)
+    hi = int(mm["max"].cast(pa.timestamp("us")).value)
+    cutoff = lo + (hi - lo) // 2
+    out = (
+        read_lake(lake, ts_range=(cutoff, None))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+Q62_SQL = """
+WITH env AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS op_seq, ts, event_type AS role, props AS text,
+         CASE WHEN event_id >= (SELECT max(event_id) // 2 FROM events)
+              THEN event_type END AS tool
+  FROM events),
+latest AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                              ORDER BY ts DESC, op_seq DESC) AS rn
+                 FROM env) WHERE rn = 1)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest
+WHERE op <> 'D'
+  -- integer µs midpoint: DuckDB INTERVAL/2 halves the days and µs
+  -- components separately (a 12-hour skew on odd day spans), so the
+  -- cutoff is computed in epoch µs exactly like the engine side
+  AND epoch_us(ts) >= (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+                       FROM events)
+ORDER BY 1, 2
+"""
+
+EXTRA_QUERIES2["q62_time_slice"] = (q62_time_slice, Q62_SQL)

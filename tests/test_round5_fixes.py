@@ -241,6 +241,87 @@ def test_zone_map_lww_supersede_not_skipped(ray_session, tmp_path):
     assert info["shards_skipped"] == info["shards_total"] - 1
 
 
+def test_read_lake_ts_range_time_slice(ray_session, tmp_path):
+    """ts_range: (a) selects rows whose MERGED revision is stamped in
+    the window — an in-window stale revision superseded by an
+    out-of-window newer one is absent; (b) per-file ts [min,max] zones
+    skip out-of-window shards on multi-run lakes; (c) equality with a
+    post-hoc pandas filter on both layouts."""
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+    from etl_geodata_pipeline_ray.cdc.replay import compact, read_lake
+
+    BASE = 1_700_000_000_000_000
+    LATER = BASE + 10**9
+
+    def slab(convs, ts0, tag):
+        rows = [(c, t) for c in convs for t in range(4)]
+        return ray.data.from_arrow(pa.table({
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "ts": pa.array([ts0 + i for i in range(len(rows))],
+                           pa.timestamp("us")),
+            "text": pa.array([f"{tag}-{r[0]}-{r[1]}" for r in rows],
+                             pa.large_string()),
+        }))
+
+    herd = [f"conv{i}" for i in range(40)]
+    lake = tmp_path / "lake"
+    upsert_dataset(slab(herd, BASE, "old"), lake, num_shards=16, mode="append")
+    upsert_dataset(slab(["needle"], LATER, "new"), lake, num_shards=16,
+                   mode="append")
+    # supersede probe: one herd key gets a NEWER out-of-window... no —
+    # newer revision AFTER the window's upper bound, stale inside it
+    upsert_dataset(slab(["conv0"], LATER + 10**9, "latest"), lake,
+                   num_shards=16, mode="append")
+
+    info = {}
+    got = read_lake(
+        lake, ts_range=(LATER - 1, LATER + 10**8), plan_info=info
+    ).to_pandas()
+    # only the needle slab is inside the window; conv0's in-window...
+    # conv0 never had in-window revisions; its latest is beyond hi
+    assert set(got["conv_id"]) == {"needle"} and len(got) == 4
+    assert info["shards_skipped"] > 0
+
+    # (a) supersede: give conv1 an IN-window stale revision and an
+    # out-of-window newer one; the merged row must be excluded
+    upsert_dataset(slab(["conv1"], LATER, "stale_in_window"), lake,
+                   num_shards=16, mode="append")
+    upsert_dataset(slab(["conv1"], LATER + 10**9, "newer_outside"), lake,
+                   num_shards=16, mode="append")
+    got2 = read_lake(lake, ts_range=(LATER - 1, LATER + 10**8)).to_pandas()
+    assert set(got2["conv_id"]) == {"needle"}
+
+    # (c) parity with a pandas filter on full reads, both layouts
+    import pandas as pd
+
+    def slice_df(df):
+        ts_lo = pd.Timestamp(LATER - 1, unit="us")
+        ts_hi = pd.Timestamp(LATER + 10**8, unit="us")
+        return (
+            df[(df["ts"] >= ts_lo) & (df["ts"] <= ts_hi)]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+
+    want = slice_df(read_lake(lake).to_pandas())
+    for layout in ("multi", "compacted"):
+        if layout == "compacted":
+            compact(lake)
+        got3 = (
+            read_lake(lake, ts_range=(LATER - 1, LATER + 10**8))
+            .to_pandas().sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got3[want.columns.tolist()], want)
+
+    # columns= projection without ts still works (ts auto-added to the
+    # scan, dropped from the output)
+    t = read_lake(
+        lake, columns=["text"], ts_range=(LATER - 1, LATER + 10**8)
+    ).to_pandas()
+    assert list(t.columns) == ["text"] and len(t) == 4
+
+
 def test_read_lake_tool_projection_predicate_parity(ray_session, tmp_path):
     """Round-5 #8: projecting the late-added `tool` column while
     filtering on a NON-projected column must behave identically on
