@@ -466,6 +466,74 @@ def test_train_centroids_sorted_input_seed_diversity(ray_session):
     assert (cos.max(axis=1) > 0.9).all(), cos.max(axis=1)
 
 
+def test_concurrent_upserts_two_processes_tie_is_publication_ordered(
+    ray_session, tmp_path
+):
+    """Two REAL OS processes race upsert_dataset on one lake with the
+    same key at the same ts: the stream flock must hand them distinct
+    base offsets, and the LWW tie must resolve to whichever PUBLISHED
+    later (higher segment offset) — never arbitrarily. A loser of the
+    lake-lock race at the replay step is fine (its segments are
+    published; a later replay commits them)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    lake = tmp_path / "lake"
+
+    def script(text):
+        return textwrap.dedent(f"""
+            import sys, logging; sys.path.insert(0, "/root/repo")
+            import ray, pyarrow as pa
+            ray.init(address="local", num_cpus=2, include_dashboard=False,
+                     logging_level=logging.ERROR)
+            from ray.data import DataContext
+            DataContext.get_current().enable_progress_bars = False
+            from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+            from etl_geodata_pipeline_ray.cdc.manifest import LakeLockedError
+            ds = ray.data.from_arrow(pa.table({{
+                "conv_id": ["k"], "turn_idx": pa.array([0], pa.int32()),
+                "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+                "text": pa.array(["{text}"], pa.large_string()),
+            }}))
+            try:
+                upsert_dataset(ds, r"{lake}", num_shards=4, mode="append")
+            except LakeLockedError:
+                print("LOCK_RACE_LOST")  # segments published; commit later
+            ray.shutdown()
+        """)
+
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script(t)],
+                         cwd="/root/repo", stdout=subprocess.PIPE, text=True)
+        for t in ("alpha", "beta")
+    ]
+    outs = [p.communicate()[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    # finish any lock-race loser's published-but-uncommitted segments,
+    # then check: distinct offsets, winner = higher-offset publisher
+    import pyarrow.parquet as pq
+
+    from etl_geodata_pipeline_ray.cdc.replay import lake_final_table, replay
+
+    replay(lake / "_ingest", lake, num_shards=4, mode="append")
+    segs = sorted((lake / "_ingest").glob("seg-*.parquet"))
+    assert len(segs) == 2, segs
+    by_offset = {
+        int(s.name.split("-")[1].split(".")[0]):
+            pq.read_table(s, columns=["text", "op_seq"])
+        for s in segs
+    }
+    offs = sorted(by_offset)
+    assert offs[0] != offs[1]
+    seqs = [by_offset[o]["op_seq"][0].as_py() for o in offs]
+    assert seqs[0] < seqs[1], "bases must be distinct and offset-ordered"
+    winner_text = by_offset[offs[1]]["text"][0].as_py()
+    t = lake_final_table(lake)
+    assert t.num_rows == 1 and t["text"][0].as_py() == winner_text
+
+
 def test_spec_substitution_single_pass_and_specs_raise():
     from etl_geodata_pipeline_ray.pipelines.spec import _resolve
 
