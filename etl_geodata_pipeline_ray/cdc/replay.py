@@ -1484,6 +1484,17 @@ def read_lake(
             pads.field("ts") >= pa.scalar(ts_lo, pa.timestamp("us"))
         ) & (pads.field("ts") <= pa.scalar(ts_hi, pa.timestamp("us")))
 
+    def empty_result() -> ray.data.Dataset:
+        # the empty plan (fresh lake, or everything zone/ts-pruned —
+        # the ROUTINE outcome of a quiet time slice) must present the
+        # same schema shape as the non-empty path: projection applied,
+        # tombstone columns only when requested
+        sch = EVENT_SCHEMA if include_tombstones else TRANSCRIPT_SCHEMA
+        t = sch.empty_table()
+        if columns:
+            t = t.select(columns)
+        return ray.data.from_arrow(t)
+
     def may_match(f: dict) -> bool:
         z = f.get("zones") or {}
         if ts_range is not None:
@@ -1510,7 +1521,7 @@ def read_lake(
         plan_info["files_total"] = n_total
         plan_info["files_skipped"] = n_total - len(files)
     if not files:
-        return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return empty_result()
 
     def finalize(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["op"], pa.scalar("D")))
@@ -1588,7 +1599,7 @@ def read_lake(
         plan_info["shards_total"] = shards_total
         plan_info["shards_skipped"] = shards_skipped
     if not shard_files:
-        return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return empty_result()
     max_shard_bytes = max(
         sum(int(f["bytes"]) for f in m["files"]) for m in manifests.values()
     )

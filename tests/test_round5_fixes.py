@@ -269,8 +269,8 @@ def test_read_lake_ts_range_time_slice(ray_session, tmp_path):
     upsert_dataset(slab(herd, BASE, "old"), lake, num_shards=16, mode="append")
     upsert_dataset(slab(["needle"], LATER, "new"), lake, num_shards=16,
                    mode="append")
-    # supersede probe: one herd key gets a NEWER out-of-window... no —
-    # newer revision AFTER the window's upper bound, stale inside it
+    # conv0 additionally gets a revision far beyond the window's
+    # upper bound (its older revisions are below the lower bound)
     upsert_dataset(slab(["conv0"], LATER + 10**9, "latest"), lake,
                    num_shards=16, mode="append")
 
@@ -278,8 +278,7 @@ def test_read_lake_ts_range_time_slice(ray_session, tmp_path):
     got = read_lake(
         lake, ts_range=(LATER - 1, LATER + 10**8), plan_info=info
     ).to_pandas()
-    # only the needle slab is inside the window; conv0's in-window...
-    # conv0 never had in-window revisions; its latest is beyond hi
+    # only the needle slab's merged revisions are stamped in-window
     assert set(got["conv_id"]) == {"needle"} and len(got) == 4
     assert info["shards_skipped"] > 0
 
@@ -320,6 +319,18 @@ def test_read_lake_ts_range_time_slice(ray_session, tmp_path):
         lake, columns=["text"], ts_range=(LATER - 1, LATER + 10**8)
     ).to_pandas()
     assert list(t.columns) == ["text"] and len(t) == 4
+
+    # an EMPTY slice (quiet window — the routine outcome) must present
+    # the same Dataset schema as a non-empty one, projection included.
+    # (Checked at ds.schema() level: Ray 2.49's to_pandas() drops
+    # columns on ANY zero-row dataset, computed-empty ones included.)
+    future = (LATER + 10**12, None)
+    e = read_lake(lake, columns=["text"], ts_range=future)
+    assert e.schema().names == ["text"] and e.count() == 0
+    e2 = read_lake(lake, ts_range=future)
+    assert "conv_id" in e2.schema().names and e2.count() == 0
+    e3 = read_lake(lake, include_tombstones=True, ts_range=future)
+    assert "op" in e3.schema().names
 
 
 def test_read_lake_tool_projection_predicate_parity(ray_session, tmp_path):

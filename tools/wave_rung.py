@@ -50,10 +50,16 @@ def _spill_mb() -> float | None:
         log = Path(_w._global_node.get_session_dir_path()) / "logs" / "raylet.out"
         with open(log, "rb") as f:
             f.seek(0, 2)
-            f.seek(max(0, f.tell() - 512 * 1024))
+            size = f.tell()
+            f.seek(max(0, size - 512 * 1024))
             txt = f.read().decode(errors="replace")
         hits = re.findall(r"Spilled (\d+) MiB", txt)
-        return float(hits[-1]) if hits else 0.0
+        if hits:
+            return float(hits[-1])
+        # no hit in the scanned tail: only a FULLY scanned log proves
+        # "no spill"; a long-scrolled log may have pushed the last
+        # spill line out of the window — unknown, not zero
+        return 0.0 if size <= 512 * 1024 else None
     except Exception:
         return None
 
