@@ -545,6 +545,93 @@ def test_concurrent_upserts_two_processes_tie_is_publication_ordered(
     assert t.num_rows == 1 and t["text"][0].as_py() == winner_text
 
 
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_zone_ts_range_fuzz_vs_pandas_oracle(ray_session, tmp_path, seed):
+    """Property fuzz for the round-5 read surface: random upsert
+    batches (updates + deletes, overlapping ts, explicit op_seq), then
+    random role predicates and ts windows — read_lake's pruned plans
+    must match an independent pandas LWW oracle on both layouts."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+    from etl_geodata_pipeline_ray.cdc.replay import compact, read_lake
+
+    rng = np.random.default_rng(seed)
+    lake = tmp_path / "lake"
+    BASE = 1_700_000_000_000_000
+    frames, op_base = [], 0
+    for b in range(4):
+        n = int(rng.integers(30, 120))
+        df = pd.DataFrame({
+            "conv_id": [f"c{int(x)}" for x in rng.integers(0, 25, n)],
+            "turn_idx": rng.integers(0, 6, n).astype("int32"),
+            "ts": BASE + rng.integers(0, 10**7, n),
+            "op": rng.choice(["U", "U", "U", "D"], n),
+            "op_seq": np.arange(op_base, op_base + n, dtype=np.int64),
+            "role": rng.choice(["user", "assistant", "tool", "system"], n),
+            "text": [f"t{b}-{i}" for i in range(n)],
+        })
+        op_base += n
+        tbl = pa.table({
+            "conv_id": df["conv_id"],
+            "turn_idx": pa.array(df["turn_idx"], pa.int32()),
+            "ts": pa.array(df["ts"], pa.timestamp("us")),
+            "op": df["op"],
+            "op_seq": pa.array(df["op_seq"], pa.int64()),
+            "role": df["role"],
+            "text": pa.array(df["text"], pa.large_string()),
+        })
+        upsert_dataset(ray.data.from_arrow(tbl), lake, num_shards=8,
+                       mode="append")
+        frames.append(df)
+
+    full = pd.concat(frames, ignore_index=True)
+    merged = (
+        full.sort_values(["ts", "op_seq"], kind="stable")
+        .groupby(["conv_id", "turn_idx"], as_index=False)
+        .tail(1)
+    )
+    live = merged[merged["op"] != "D"].copy()
+    live["ts"] = pd.to_datetime(live["ts"], unit="us")
+
+    def check(layout):
+        for _ in range(5):
+            kind = rng.choice(["role_eq", "role_isin", "ts_win", "both"])
+            role = str(rng.choice(["user", "assistant", "tool", "ghost"]))
+            lo = BASE + int(rng.integers(0, 10**7))
+            hi = lo + int(rng.integers(10**5, 5 * 10**6))
+            pred, tsr = None, None
+            want = live
+            if kind in ("role_eq", "both"):
+                pred = pads.field("role") == role
+                want = want[want["role"] == role]
+            elif kind == "role_isin":
+                pred = pads.field("role").isin([role, "system"])
+                want = want[want["role"].isin([role, "system"])]
+            if kind in ("ts_win", "both"):
+                tsr = (lo, hi)
+                want = want[
+                    (want["ts"] >= pd.Timestamp(lo, unit="us"))
+                    & (want["ts"] <= pd.Timestamp(hi, unit="us"))
+                ]
+            got = read_lake(lake, predicate=pred, ts_range=tsr)
+            got_df = got.to_pandas()
+            key = ["conv_id", "turn_idx"]
+            want_s = want.sort_values(key).reset_index(drop=True)
+            assert len(got_df) == len(want_s), (layout, kind, role)
+            if len(got_df):
+                got_s = got_df.sort_values(key).reset_index(drop=True)
+                for col in ("conv_id", "turn_idx", "role", "text", "ts"):
+                    assert (
+                        got_s[col].tolist() == want_s[col].tolist()
+                    ), (layout, kind, col)
+
+    check("multi-run")
+    compact(lake)
+    check("compacted")
+
+
 def test_spec_substitution_single_pass_and_specs_raise():
     from etl_geodata_pipeline_ray.pipelines.spec import _resolve
 
