@@ -419,7 +419,7 @@ def q15_daily_event_stats(sf_dir: str) -> pd.DataFrame:
     """Tumbling-window aggregate (SURVEY §2.9 — added capability; the
     reference has no windowing)."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-    ds = tumbling_window(ds, "ts", "day", ["event_type"])
+    ds = tumbling_window(ds, "ts", "day")
     out = (
         ds.groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))

@@ -147,6 +147,10 @@ def binned_quantile_aggregate(
 
     def accumulate_block(counts: np.ndarray, block) -> np.ndarray:
         x = BlockAccessor.for_block(block).to_pandas()[value].to_numpy(dtype=np.float64)
+        # nulls/NaN/±inf are NOT samples: NaN.astype(int64) lands on
+        # INT64_MIN, which clip would silently count in bin 0 and drag
+        # the quantile toward lo (SQL quantile ignores NULLs)
+        x = x[np.isfinite(x)]
         idx = np.minimum(((x - lo) / width * n_bins).astype(np.int64), n_bins - 1)
         np.clip(idx, 0, n_bins - 1, out=idx)
         b, c = np.unique(idx, return_counts=True)

@@ -18,7 +18,11 @@ import pyarrow.compute as pc
 import ray.data
 
 _WS_TOKEN = r"\S+"
-_PUNCT = r"[^\w\s]"
+# Unicode-aware punctuation class: RE2's \w is ASCII-only, so the old
+# [^\w\s] counted every non-ASCII LETTER as punctuation — a QA
+# threshold on punct_ratio would junk essentially all non-English
+# text. \pL/\pN are RE2's Unicode letter/number classes.
+_PUNCT = r"[^\pL\pN\s_]"
 
 # tiny per-language marker lexicons for the heuristic language-ID;
 # scoring = fraction of tokens that are markers, argmax wins.
@@ -48,6 +52,8 @@ class QualityScorer:
         n_chars = pc.utf8_length(txt)
         n_tokens = pc.count_substring_regex(txt, _WS_TOKEN)
         n_punct = pc.count_substring_regex(txt, _PUNCT)
+        # ASCII-space-only on purpose: the q22 oracle's
+        # replace(text, ' ', '') defines "dense" chars the same way
         n_spaces = pc.subtract(n_chars, pc.utf8_length(pc.replace_substring(txt, " ", "")))
         tok = pc.max_element_wise(n_tokens, pa.scalar(1, type=pa.int32()))
         dense_chars = pc.subtract(n_chars, n_spaces)
@@ -55,8 +61,11 @@ class QualityScorer:
             pc.divide(pc.cast(dense_chars, pa.float64()), pc.cast(tok, pa.float64())),
             ndigits=4,
         )
+        # max(n_chars, 1): an empty doc must score 0, not NaN (NaN
+        # silently fails every downstream threshold comparison)
+        chars = pc.max_element_wise(n_chars, pa.scalar(1, type=pa.int32()))
         pr = pc.round(
-            pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(n_chars, pa.float64())),
+            pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(chars, pa.float64())),
             ndigits=4,
         )
         batch = batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
@@ -80,7 +89,9 @@ class LangId:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.reset_index(drop=True)  # explode/reindex need unique labels
-        toks = batch[self.text_col].str.lower().str.findall(self.word)
+        # null text scores 0 → 'und' (unguarded, NaN token counts made
+        # argmax pick index 0 = 'en' with lang_score=NaN)
+        toks = batch[self.text_col].fillna("").str.lower().str.findall(self.word)
         n = toks.str.len().to_numpy(dtype=np.float64)
         n[n == 0] = 1.0
         # vectorized scoring: explode tokens once, one isin() pass per
@@ -146,16 +157,23 @@ class Fingerprinter:
             if m <= 1:
                 mins = np.array([H.min()], dtype=np.uint64)
             else:
-                idx = np.arange(m)[:, None] + np.arange(self.W)[None, :]
-                mins = H[idx].min(axis=1)
+                # zero-copy sliding windows: the explicit m×W index
+                # matrix + gather allocated ~256 bytes per input byte
+                # (1.3 GB of transient int64 for a 10 MB document)
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    H, self.W
+                ).min(axis=1)
             idxs = np.arange(len(mins), dtype=np.uint64)
             v = (mins ^ (idxs * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(1099511628211)
             return int(np.bitwise_xor.reduce(v) ^ np.uint64(len(mins)))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         with np.errstate(over="ignore"):
+            # null text fingerprints as the empty document (a constant)
+            # instead of crashing the task with AttributeError
             batch[self.output] = [
-                self._doc_fp(t.encode("utf-8", "ignore")) for t in batch[self.text_col]
+                self._doc_fp((t if isinstance(t, str) else "").encode("utf-8", "ignore"))
+                for t in batch[self.text_col]
             ]
         batch[self.output] = batch[self.output].astype(np.uint64).astype(np.int64)
         return batch
@@ -186,9 +204,12 @@ def vocab_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datas
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")), r"\s+"
-        )
+        # split on ASCII \s+ only (NO unicode trim): boundary empties
+        # are dropped by the "" filter below, and a unicode trim would
+        # DISAGREE with token_count_batch's ASCII \S+ on documents
+        # padded with unicode whitespace (NBSP counts as one token in
+        # both tokenizers this way)
+        toks = pc.split_pattern_regex(pc.fill_null(batch[text_col], ""), r"\s+")
         flat = pc.list_flatten(toks)
         # split of an empty/whitespace-only doc yields [""] — drop it,
         # or the vocabulary gains a phantom ''-token row and its total

@@ -21,11 +21,10 @@ def tumbling_window(
     ds: ray.data.Dataset,
     ts_col: str,
     every: str,
-    keys: list[str],
 ) -> ray.data.Dataset:
     """Add a ``window_start`` column = ts truncated to the window size
     (``every`` ∈ {'hour','day','minute'}); caller aggregates on
-    ``keys + ['window_start']``."""
+    its keys + ``['window_start']``."""
 
     def trunc(batch: pa.Table) -> pa.Table:
         w = pc.floor_temporal(batch[ts_col], unit=every)
@@ -86,6 +85,10 @@ def hopping_window(
     hop_us = np.int64(hop_s) * 1_000_000
 
     def expand(batch: pa.Table) -> pa.Table:
+        # a null ts belongs to NO window: NaT → int64 wraps to
+        # INT64_MIN and would pass the cover test, replicating the row
+        # into n_win garbage windows near the int64 boundary
+        batch = batch.filter(pc.is_valid(batch[ts_col]))
         ts = batch[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
         t = ts.astype("datetime64[us]").astype(np.int64) - epoch_us
         # last window covering t starts at floor(t / hop) * hop; the

@@ -632,6 +632,64 @@ def test_zone_ts_range_fuzz_vs_pandas_oracle(ray_session, tmp_path, seed):
     check("compacted")
 
 
+def test_text_kernels_null_and_unicode_hardening(ray_session):
+    """Fresh-eyes review batch: null text must not crash or misscore;
+    non-ASCII letters are not punctuation; empty docs score 0 not NaN;
+    NaN never enters the quantile sketch; null ts joins no window."""
+    import math
+
+    from etl_geodata_pipeline_ray.stages.text import (
+        Fingerprinter,
+        LangId,
+        QualityScorer,
+    )
+
+    t = pa.table({
+        "text": pa.array(
+            ["привет мир", "héllo wörld", "", None, "the cat and the hat"],
+            pa.large_string(),
+        )
+    })
+    q = QualityScorer()(t).to_pandas()
+    # Cyrillic letters are NOT punctuation (old ASCII \w scored 0.9)
+    assert q["punct_ratio"][0] == 0.0 and q["punct_ratio"][1] == 0.0
+    assert q["punct_ratio"][2] == 0.0 and not math.isnan(q["punct_ratio"][2])
+
+    lid = LangId()(t.to_pandas())
+    assert lid["lang_pred"][3] == "und" and lid["lang_score"][3] == 0.0
+    assert lid["lang_pred"][4] == "en"
+
+    fp = Fingerprinter()(t.to_pandas())  # must not raise on the None row
+    assert fp["fingerprint"].notna().all()
+    # null fingerprints as the EMPTY document, deterministically
+    assert fp["fingerprint"][3] == fp["fingerprint"][2] if t["text"][2].as_py() == "" else True
+
+    # quantile sketch ignores NaN/null
+    from ray.data.block import BlockAccessor  # noqa: F401  (sketch dep)
+
+    from etl_geodata_pipeline_ray.stages.sketches import (
+        binned_quantile_aggregate,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a"] * 4,
+        "v": pa.array([None, float("nan"), 5.0, 5.0], pa.float64()),
+    }))
+    agg = binned_quantile_aggregate("v", 0.5, 0.0, 10.0, alias_name="p50")
+    out = ds.groupby("g").aggregate(agg).to_pandas()
+    assert abs(out["p50"][0] - 5.0) < 10.0 / 4096 + 1e-9
+
+    # hopping window: null ts produces zero rows, not garbage windows
+    from etl_geodata_pipeline_ray.stages.windows import hopping_window
+
+    ev = ray.data.from_arrow(pa.table({
+        "ts": pa.array([1_700_000_000_000_000, None], pa.timestamp("us")),
+        "v": [1, 2],
+    }))
+    w = hopping_window(ev, "ts", size_s=60, hop_s=30).to_pandas()
+    assert set(w["v"]) == {1} and len(w) == 2  # 60/30 = 2 windows, row 1 only
+
+
 def test_spec_substitution_single_pass_and_specs_raise():
     from etl_geodata_pipeline_ray.pipelines.spec import _resolve
 
