@@ -140,9 +140,16 @@ def generate_events(spec: WalSpec, conv_base: int = 0) -> pa.Table:
     conv = np.concatenate([ins_conv, upd_conv, del_conv])
     turn = np.concatenate([ins_turn, upd_turn, del_turn])
 
-    # interleave updates/deletes after their key's insert position:
-    # place inserts at their round-robin position, mutations at a random
-    # later position, then argsort.
+    # interleave updates/deletes among the inserts: inserts keep their
+    # round-robin position, mutations land uniformly past the first
+    # quarter of the insert range, then argsort. NOTE: this does NOT
+    # guarantee a mutation lands after ITS OWN key's insert — a U/D
+    # placed before its I has a smaller (ts, op_seq) and loses LWW
+    # (or, for D-before-I, the later insert wins), so the EFFECTIVE
+    # update/delete mix is somewhat below update_frac/delete_frac.
+    # That is a property of the fixture both the engine and the oracle
+    # share (load-bearing: WAL caches and all recorded bench numbers
+    # key off this layout — do not change placement casually).
     pos = np.empty(len(op), dtype=np.float64)
     pos[:n_ins] = np.arange(n_ins)
     pos[n_ins:] = rng.random(n_upd + n_del) * len(op) + n_ins * 0.25

@@ -27,9 +27,18 @@ def grouped_value_counts(
         out = df.groupby([group, value], dropna=False).size().reset_index(name=count_name)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby([group, value]).sum(
-        count_name
-    )
+    summed = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        [group, value]
+    ).sum(count_name)
+
+    def rename(t: pa.Table) -> pa.Table:
+        # honor the documented count_name contract (Ray's sum() emits
+        # 'sum(<col>)')
+        return t.rename_columns(
+            [count_name if c == f"sum({count_name})" else c for c in t.column_names]
+        )
+
+    return summed.map_batches(rename, batch_format="pyarrow")
 
 
 def shannon_entropy(
@@ -227,10 +236,15 @@ def exact_quantiles(
             cand_rows = int(full[b_lo : b_hi + 1].sum())
             if cand_rows <= max_driver_values or b_hi == b_lo or depth + 1 >= max_refinements:
                 if cand_rows > max_driver_values and b_hi == b_lo and depth + 1 < max_refinements:
-                    # single overfull bin: descend into just that bin
-                    nl = cur_lo + b_lo * width / n_bins
-                    nh = cur_lo + (b_hi + 1) * width / n_bins
-                    if nh > nl:
+                    # single overfull bin: descend into it WIDENED one
+                    # bin each side — the same float-boundary-flip
+                    # guard as the multi-bin branch below (a value
+                    # binned here can land just outside the exact
+                    # edges under a different rounding, and the child
+                    # pass would then drop the target rank's value)
+                    nl = cur_lo + max(0, b_lo - 1) * width / n_bins
+                    nh = cur_lo + min(n_bins, b_hi + 2) * width / n_bins
+                    if nh > nl and not (nl <= cur_lo and nh >= cur_hi):
                         _refine(nl, nh, grp_ranks, depth + 1)
                         continue
                 _pull(cur_lo, cur_hi, width, b_lo, b_hi, rank_off + int(cum[b_lo]), grp_ranks)

@@ -22,16 +22,42 @@ _HASH_KEY = "graftbucket-hash"
 def add_bucket(
     ds: ray.data.Dataset, keys: list[str], n_buckets: int, col: str = "_bucket"
 ) -> ray.data.Dataset:
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for k in keys:
-            h ^= pd.util.hash_array(
-                batch[k].to_numpy(), hash_key=_HASH_KEY
-            ) * np.uint64(0x9E3779B97F4A7C15)
-        batch[col] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return batch
+    """Append ``hash(keys) % n_buckets``. The hash is computed from the
+    ARROW column type (dtype-stable across blocks — same rule as
+    shuffle_join's bucket hash): hashing the raw pandas numpy values
+    would let an int64 column whose null-bearing BLOCKS drift to
+    float64 hash ``5`` and ``5.0`` differently, splitting one key
+    across buckets — every bucketed kernel then emits two partial
+    rows per key, silently wrong."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return ds.map_batches(bucketize, batch_format="pandas")
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for k in keys:
+            colv = batch[k].combine_chunks()
+            if pa.types.is_integer(colv.type):
+                v = (
+                    pc.cast(colv, pa.int64())
+                    .fill_null(-(2**63) + 11)
+                    .to_numpy(zero_copy_only=False)
+                )
+                hk = pd.util.hash_array(v.astype(np.int64, copy=False),
+                                        hash_key=_HASH_KEY)
+            elif pa.types.is_floating(colv.type):
+                v = pc.cast(colv, pa.float64()).to_numpy(zero_copy_only=False)
+                hk = pd.util.hash_array(v + 0.0, hash_key=_HASH_KEY)
+            else:
+                s = pc.cast(colv, pa.string()).fill_null("\x00null").to_numpy(
+                    zero_copy_only=False
+                )
+                hk = pd.util.hash_array(s.astype(object), hash_key=_HASH_KEY)
+            h ^= hk * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            col, pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
 def bucketed_apply(

@@ -64,6 +64,12 @@ def cascade_categorize(
     sensitive semantics preserved from the reference by assigning in
     REVERSE priority so earlier rules overwrite later ones."""
 
+    for category, _column, needles in cascade:
+        if not needles:
+            # pc.if_else(None, ...) would silently null the ENTIRE
+            # category column — refuse the malformed rule loudly
+            raise ValueError(f"cascade rule {category!r} has no substrings")
+
     def apply(batch: pa.Table) -> pa.Table:
         cat = pa.array([default] * batch.num_rows, type=pa.string())
         for category, column, needles in reversed(cascade):
@@ -96,7 +102,14 @@ def stamp_metadata(ds: ray.data.Dataset, **values) -> ray.data.Dataset:
 
     def stamp(batch: pa.Table) -> pa.Table:
         for k, v in values.items():
-            batch = batch.append_column(k, pa.array([v] * batch.num_rows))
+            # explicit type from the VALUE: an empty batch would
+            # otherwise infer a null-typed column that conflicts with
+            # the type non-empty blocks infer (schema-unification or
+            # parquet-write failure downstream)
+            typ = pa.scalar(v).type
+            batch = batch.append_column(
+                k, pa.array([v] * batch.num_rows, type=typ)
+            )
         return batch
 
     return ds.map_batches(stamp, batch_format="pyarrow")

@@ -535,14 +535,17 @@ def topk(ds: ray.data.Dataset, col: str, k: int, descending: bool = True) -> ray
 
 
 def global_stats(ds: ray.data.Dataset, col: str) -> dict:
-    """Single-pass global min/max/sum/count for normalization stages."""
+    """Single-pass global min/max/sum/count for normalization stages.
+    ``n`` is SQL ``count(col)``: NON-NULL rows only (Ray's Count
+    defaults to counting nulls, which would misalign exact_quantiles'
+    rank targets against its null-dropping histogram passes)."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     row = ds.aggregate(
         Min(col, alias_name="min"),
         Max(col, alias_name="max"),
         Sum(col, alias_name="sum"),
-        Count(col, alias_name="n"),
+        Count(col, ignore_nulls=True, alias_name="n"),
     )
     return dict(row)
 

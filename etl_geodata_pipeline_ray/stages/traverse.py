@@ -48,6 +48,11 @@ def dijkstra(
             f"src node ids must be in [0, {n_nodes}); got "
             f"[{int(src.min())}, {int(src.max())}]"
         )
+    if not 0 <= source < n_nodes:
+        # a negative source would silently wrap (numpy indexing) and
+        # anchor every distance at the WRONG node — same hazard the
+        # src/dst checks above guard against, for the scalar
+        raise ValueError(f"source must be in [0, {n_nodes}); got {source}")
     order = np.argsort(src, kind="stable")
     src_s, dst_s, w_s = src[order], dst[order], weight[order]
     starts = np.searchsorted(src_s, np.arange(n_nodes + 1))
