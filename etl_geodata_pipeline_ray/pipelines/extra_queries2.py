@@ -336,15 +336,13 @@ def _pid_root(base: str, sf_dir: str) -> Path:
 
 
 # ---------------------------------------------------------------- q52
-def _events_lake(sf_dir: str) -> Path:
-    """Build (rebuild) the deterministic events-derived lake used by
-    q52/q53; returns the lake dir. See q52's docstring for the WAL
-    derivation rules."""
-    import shutil
-
+def _events_env(sf_dir: str):
+    """Deterministic CDC envelope derived from the events table (the
+    q52 derivation rules: conv_id = user_id, turn_idx = event_id % 25,
+    'error' events are deletes, LWW on (ts, op_seq=event_id), ``tool``
+    present only from the midpoint id). Returns (env, ids, split)."""
     import pyarrow.parquet as pq
 
-    from ..cdc.replay import replay
     from ..cdc.schema import EVENT_SCHEMA
 
     ev = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
@@ -364,12 +362,15 @@ def _events_lake(sf_dir: str) -> Path:
         },
         schema=EVENT_SCHEMA,
     )
-    # per-process root: two concurrent runs (e.g. bench + a driver
-    # compare) must not rmtree each other's WAL/lake mid-replay
-    root = _pid_root("/tmp/graft_q52", sf_dir)
-    wal, lake = root / "wal", root / "lake"
-    shutil.rmtree(root, ignore_errors=True)
-    wal.mkdir(parents=True)
+    return env, ids, split
+
+
+def _write_env_segments(env: pa.Table, ids, split: int, wal: Path) -> list[int]:
+    """Write the envelope as ~8 WAL segments with a boundary at the id
+    midpoint; segments below it are written WITHOUT the tool column
+    (mid-stream schema evolution). Returns the segment boundaries."""
+    import pyarrow.parquet as pq
+
     n = env.num_rows
     seg_rows = max(500, (n + 7) // 8)
     cut = int(np.searchsorted(ids, split))  # v0/v1 schema boundary
@@ -381,6 +382,25 @@ def _events_lake(sf_dir: str) -> Path:
         if int(ids[lo]) < split:
             seg = seg.drop_columns(["tool"])  # pre-schema-change segment
         pq.write_table(seg, wal / f"seg-{lo:012d}.parquet", row_group_size=4096)
+    return bounds
+
+
+def _events_lake(sf_dir: str) -> Path:
+    """Build (rebuild) the deterministic events-derived lake used by
+    q52/q53; returns the lake dir. See q52's docstring for the WAL
+    derivation rules."""
+    import shutil
+
+    from ..cdc.replay import replay
+
+    env, ids, split = _events_env(sf_dir)
+    # per-process root: two concurrent runs (e.g. bench + a driver
+    # compare) must not rmtree each other's WAL/lake mid-replay
+    root = _pid_root("/tmp/graft_q52", sf_dir)
+    wal, lake = root / "wal", root / "lake"
+    shutil.rmtree(root, ignore_errors=True)
+    wal.mkdir(parents=True)
+    _write_env_segments(env, ids, split, wal)
     replay(wal, lake, num_shards=16)
     return lake
 
@@ -756,17 +776,7 @@ def q59_dlq_quarantine(sf_dir: str) -> pd.DataFrame:
     wal, lake = root / "wal", root / "lake"
     shutil.rmtree(root, ignore_errors=True)
     wal.mkdir(parents=True)
-    n = env.num_rows
-    seg_rows = max(500, (n + 7) // 8)
-    cut = int(np.searchsorted(ids, split))
-    bounds = sorted({0, cut, n} | set(range(0, n, seg_rows)))
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        if hi <= lo:
-            continue
-        seg = env.slice(lo, hi - lo)
-        if int(ids[lo]) < split:
-            seg = seg.drop_columns(["tool"])  # pre-schema-change segment
-        pq.write_table(seg, wal / f"seg-{lo:012d}.parquet", row_group_size=4096)
+    _write_env_segments(env, ids, split, wal)
     replay(wal, lake, num_shards=16)
     out = read_quarantine(lake).to_pandas()
     return out.sort_values("op_seq").reset_index(drop=True)
@@ -795,6 +805,29 @@ ORDER BY op_seq
 EXTRA_QUERIES2["q59_dlq_quarantine"] = (q59_dlq_quarantine, Q59_SQL)
 
 
+def _events_lake_two_commits(sf_dir: str, base: str) -> Path:
+    """The q52 events-derived WAL replayed as TWO commits split at the
+    id midpoint (retain_versions=2) — the snapshot-pair fixture for the
+    changelog consumers (q60 lake_diff, q63 incremental KPIs). Commit 1
+    = exactly the segments below the midpoint (op_seq < max(id)//2 —
+    the cutoff the SQL oracle can express)."""
+    import shutil
+
+    from ..cdc.replay import replay
+
+    env, ids, split = _events_env(sf_dir)
+    root = _pid_root(base, sf_dir)
+    wal, lake = root / "wal", root / "lake"
+    shutil.rmtree(root, ignore_errors=True)
+    wal.mkdir(parents=True)
+    bounds = _write_env_segments(env, ids, split, wal)
+    cut = int(np.searchsorted(ids, split))
+    m = sum(1 for b in bounds[:-1] if b < cut)
+    replay(wal, lake, num_shards=16, mode="append", max_segments=m, retain_versions=2)
+    replay(wal, lake, num_shards=16, mode="append")
+    return lake
+
+
 # ---------------------------------------------------------------- q60
 def q60_lake_diff(sf_dir: str) -> pd.DataFrame:
     """Changelog emission through the REAL engine, driver-oracle-
@@ -804,50 +837,9 @@ def q60_lake_diff(sf_dir: str) -> pd.DataFrame:
     consumer applies to advance from state 1 to state 2. The oracle
     recomputes both LWW states with window functions and classifies
     the changed keys with the same tombstone rules."""
-    import shutil
+    from ..cdc.replay import commit_log, lake_diff
 
-    import pyarrow.parquet as pq
-
-    from ..cdc.replay import commit_log, lake_diff, replay
-    from ..cdc.schema import EVENT_SCHEMA
-
-    ev = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
-    ids = ev["event_id"].to_numpy()
-    split = int(ids.max()) // 2
-    role = ev["event_type"].to_numpy(zero_copy_only=False)
-    env = pa.table(
-        {
-            "op": pa.array(np.where(role == "error", "D", "U")),
-            "op_seq": pa.array(ids, type=pa.int64()),
-            "ts": ev["ts"].cast(pa.timestamp("us")),
-            "conv_id": pc.cast(ev["user_id"], pa.string()),
-            "turn_idx": pa.array((ids % 25).astype(np.int32)),
-            "role": pa.array(role),
-            "text": ev["props"].cast(pa.large_string()),
-            "tool": pa.array(np.where(ids >= split, role, None)),
-        },
-        schema=EVENT_SCHEMA,
-    )
-    root = _pid_root("/tmp/graft_q60", sf_dir)
-    wal, lake = root / "wal", root / "lake"
-    shutil.rmtree(root, ignore_errors=True)
-    wal.mkdir(parents=True)
-    n = env.num_rows
-    seg_rows = max(500, (n + 7) // 8)
-    cut = int(np.searchsorted(ids, split))  # v0/v1 schema + commit boundary
-    bounds = sorted({0, cut, n} | set(range(0, n, seg_rows)))
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        if hi <= lo:
-            continue
-        seg = env.slice(lo, hi - lo)
-        if int(ids[lo]) < split:
-            seg = seg.drop_columns(["tool"])
-        pq.write_table(seg, wal / f"seg-{lo:012d}.parquet", row_group_size=4096)
-    # commit 1 = exactly the segments below the id midpoint (op_seq <
-    # max(id)//2 — the cutoff the SQL oracle can express)
-    m = sum(1 for b in bounds[:-1] if b < cut)
-    replay(wal, lake, num_shards=16, mode="append", max_segments=m, retain_versions=2)
-    replay(wal, lake, num_shards=16, mode="append")
+    lake = _events_lake_two_commits(sf_dir, "/tmp/graft_q60")
     c1, c2 = [e["commit"] for e in commit_log(lake) if e["n_segments"]]
     out = lake_diff(lake, c1, c2).to_pandas()
     return out.sort_values("op_seq").reset_index(drop=True)
@@ -992,3 +984,45 @@ ORDER BY 1, 2
 """
 
 EXTRA_QUERIES2["q62_time_slice"] = (q62_time_slice, Q62_SQL)
+
+
+# ---------------------------------------------------------------- q63
+def q63_incremental_kpis(sf_dir: str) -> pd.DataFrame:
+    """Incremental view maintenance (``cdc/incremental.py``),
+    driver-oracle-checked: the per-conversation KPI rollup (turn count
+    + token total) is bootstrapped at commit 1 of the two-commit
+    events-derived lake, then ADVANCED to commit 2 purely from the
+    ``lake_diff`` changelog — +new/−old delta algebra, the lake's text
+    re-read only for changed rows — and must equal the SQL oracle's
+    from-scratch counts over the final state. Conversations whose last
+    live turn was deleted between the commits must drop out."""
+    from ..cdc.incremental import advance_conv_counts, conv_counts, turn_metrics
+    from ..cdc.replay import commit_log
+
+    lake = _events_lake_two_commits(sf_dir, "/tmp/graft_q63")
+    c1, c2 = [e["commit"] for e in commit_log(lake) if e["n_segments"]]
+    m1 = turn_metrics(lake, at_commit=c1)
+    out = advance_conv_counts(conv_counts(m1), m1, lake, c1, c2).to_pandas()
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+Q63_SQL = r"""
+WITH env AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS op_seq, ts, props AS text
+  FROM events),
+latest AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                              ORDER BY ts DESC, op_seq DESC) AS rn
+                 FROM env) WHERE rn = 1),
+live AS (SELECT conv_id, text FROM latest WHERE op <> 'D')
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+FROM live GROUP BY 1 ORDER BY 1
+"""
+
+EXTRA_QUERIES2["q63_incremental_kpis"] = (q63_incremental_kpis, Q63_SQL)
