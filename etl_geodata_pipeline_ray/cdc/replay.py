@@ -1703,7 +1703,9 @@ def _flat(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return ca.chunk(0) if ca.num_chunks else pa.array([], type=col.type)
 
 
-def _diff_states(a: pa.Table, b: pa.Table, out_schema: pa.Schema) -> pa.Table:
+def _diff_states(
+    a: pa.Table, b: pa.Table, out_schema: pa.Schema, include_before: bool = False
+) -> pa.Table:
     """Changed-key detection between two per-shard LWW states, pure
     Arrow/numpy (round-3 verdict #2: the old pandas left-merge copied
     every wide ``text`` column of BOTH snapshots just to compare
@@ -1765,6 +1767,29 @@ def _diff_states(a: pa.Table, b: pa.Table, out_schema: pa.Schema) -> pa.Table:
     out = out.append_column(
         out_schema.field("change"), pa.array(change, type=pa.string())
     )
+    if include_before:
+        # Debezium-style before-image STAMPS of the superseded live
+        # revision (null on insert — logically the key did not exist;
+        # a dead prior revision is not a before-image). The slim
+        # ``a`` columns carry everything needed; the old payload is
+        # never read.
+        k = int(np.count_nonzero(emit))
+        if n_a == 0:
+            bts = pa.nulls(k, pa.timestamp("us"))
+            bseq = pa.nulls(k, pa.int64())
+        else:
+            has = (found & ~dead_before)[emit]
+            idx = ai[emit]
+            bts = pa.array(
+                ts_a[idx].astype("datetime64[us]"),
+                type=pa.timestamp("us"),
+                mask=~has,
+            )
+            bseq = pa.array(
+                seq_a[idx].astype(np.int64), type=pa.int64(), mask=~has
+            )
+        out = out.append_column(out_schema.field("before_ts"), bts)
+        out = out.append_column(out_schema.field("before_op_seq"), bseq)
     return out.cast(out_schema)
 
 
@@ -1772,6 +1797,7 @@ def lake_diff(
     lake_dir: str | Path,
     from_commit: str,
     to_commit: str,
+    include_before: bool = False,
 ) -> ray.data.Dataset:
     """Row-level changelog between two retained snapshots — the CDC
     *output* feed: what a downstream consumer must apply to move from
@@ -1782,7 +1808,13 @@ def lake_diff(
     Emits the ``to``-side row per changed key plus a ``change`` column:
     ``insert`` (key absent before), ``update`` (newer revision),
     ``delete`` (newest revision became a tombstone). Un-changed keys
-    emit nothing. Both commits must be within the retention window."""
+    emit nothing. Both commits must be within the retention window.
+
+    ``include_before=True`` adds the Debezium-style before-image
+    STAMPS ``before_ts`` / ``before_op_seq`` of the superseded live
+    revision (null on insert) — enough for a consumer to verify it is
+    applying the change to the exact state it holds, without the old
+    payload ever being read (the from-side scan stays slim)."""
     lake_dir = Path(lake_dir)
     manifests = mf.read_all_manifests(lake_dir)
     m_from = _snapshot_manifests(lake_dir, manifests, from_commit)
@@ -1802,7 +1834,13 @@ def lake_diff(
                 "to": [str(lake_dir / f["path"]) for f in b],
             }
         )
-    out_schema = pa.schema(list(EVENT_SCHEMA) + [pa.field("change", pa.string())])
+    out_fields = list(EVENT_SCHEMA) + [pa.field("change", pa.string())]
+    if include_before:
+        out_fields += [
+            pa.field("before_ts", pa.timestamp("us")),
+            pa.field("before_op_seq", pa.int64()),
+        ]
+    out_schema = pa.schema(out_fields)
     if not items:
         return ray.data.from_arrow(out_schema.empty_table())
     mem = _merge_mem_bytes(0, max_bytes, 1, 0)
@@ -1831,7 +1869,7 @@ def lake_diff(
             # the wide ``text`` of the old snapshot never leaves parquet
             a = state(list(frm), columns=_DIFF_SLIM_COLS)
             b = state(list(to))
-            out.append(_diff_states(a, b, out_schema))
+            out.append(_diff_states(a, b, out_schema, include_before=include_before))
         return pa.concat_tables(out, promote_options="permissive")
 
     return ray.data.from_items(items).map_batches(

@@ -130,6 +130,42 @@ def test_dropout_insert_and_update_deltas(ray_session, tmp_path):
     pd.testing.assert_frame_equal(leaf, want_leaf)
 
 
+import pytest
+
+
+@pytest.mark.parametrize(
+    "seed,update_frac,delete_frac,zipf",
+    [(101, 1.0, 0.05, 1.05), (202, 3.0, 0.2, 1.3), (303, 0.5, 0.3, 1.1)],
+)
+def test_incremental_fuzz_vs_recompute(
+    ray_session, tmp_path, seed, update_frac, delete_frac, zipf
+):
+    """Chained advances over generator WALs with varying update/delete
+    mixes and key skew must equal the full recompute at head — both the
+    leaf table and the rollup."""
+    spec = WalSpec(
+        n_convs=150, seed=seed, dup_rate=0.1, shuffle_window=100,
+        seg_size=500, schema_change_frac=0.5,
+        update_frac=update_frac, delete_frac=delete_frac, zipf_s=zipf,
+    )
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    write_wal(spec, wal, overwrite=True)
+    n = len(sorted(wal.glob("seg-*.parquet")))
+    for k in sorted({max(1, n // 3), max(2, (2 * n) // 3), n}):
+        replay(wal, lake, num_shards=8, mode="append",
+               max_segments=k, retain_versions=3)
+    commits = [e["commit"] for e in commit_log(lake) if e["n_segments"]]
+    m = turn_metrics(lake, at_commit=commits[0])
+    k_roll = conv_counts(m)
+    for c_from, c_to in zip(commits, commits[1:]):
+        k_roll = advance_conv_counts(k_roll, m, lake, c_from, c_to)
+        m = advance_turn_metrics(m, lake, c_from, c_to)
+    pd.testing.assert_frame_equal(_leaf_df(m), _leaf_df(turn_metrics(lake)))
+    pd.testing.assert_frame_equal(
+        _counts_df(k_roll), _counts_df(conv_counts(turn_metrics(lake)))
+    )
+
+
 def test_noop_diff_is_identity(ray_session, tmp_path):
     lake, (c1, c2, c3) = _lake3(tmp_path)
     m3 = turn_metrics(lake, at_commit=c3)

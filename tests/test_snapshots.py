@@ -247,6 +247,49 @@ def test_lake_diff_changelog(ray_session, tmp_path):
     assert lake_diff(lake, c2, c2).count() == 0
 
 
+def test_lake_diff_before_image_stamps(ray_session, tmp_path):
+    """include_before=True: every update/delete row carries the
+    superseded LIVE revision's (ts, op_seq) from the from-snapshot;
+    inserts carry nulls (a dead prior revision is not a before-image).
+    Checked against an independent pandas recompute of the c1 state."""
+    import pandas as pd
+
+    from etl_geodata_pipeline_ray.cdc.replay import lake_diff, read_lake
+
+    wal, lake, segs = _incremental(tmp_path, "append", retain=3)
+    data = [e for e in commit_log(lake) if e["n_segments"]]
+    c1, c2 = data[0]["commit"], data[2]["commit"]
+
+    diff = lake_diff(lake, c1, c2, include_before=True).to_pandas()
+    assert len(diff) > 0
+    plain = lake_diff(lake, c1, c2).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    # same rows/changes as the default feed, just two extra columns
+    pd.testing.assert_frame_equal(
+        diff.drop(columns=["before_ts", "before_op_seq"])
+        .sort_values(key).reset_index(drop=True),
+        plain.sort_values(key).reset_index(drop=True),
+    )
+
+    # the LIVE c1 state (tombstones filtered) is the before-image source
+    old = (
+        read_lake(lake, include_tombstones=True, at_commit=c1)
+        .to_pandas()
+    )
+    old = old[old["op"] != "D"][key + ["ts", "op_seq"]].rename(
+        columns={"ts": "want_ts", "op_seq": "want_seq"}
+    )
+    m = diff.merge(old, on=key, how="left")
+    upd = m[m["change"] != "insert"]
+    assert len(upd) > 0
+    assert (upd["before_ts"] == upd["want_ts"]).all()
+    assert (upd["before_op_seq"] == upd["want_seq"]).all()
+    ins = m[m["change"] == "insert"]
+    assert ins["before_ts"].isna().all() and ins["before_op_seq"].isna().all()
+    # inserts had no LIVE prior revision
+    assert ins["want_ts"].isna().all()
+
+
 def test_read_conversation_point_lookup(ray_session, tmp_path):
     """Hash-routed single-shard point read equals the oracle's slice,
     on both compacted and multi-run lakes, and respects at_commit."""
