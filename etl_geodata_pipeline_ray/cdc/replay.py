@@ -1848,7 +1848,7 @@ def lake_diff(
     def diff_shard(batch) -> pa.Table:
         from ..state.merge_index import lww_merge_sorted
 
-        def state(files, columns=None) -> pa.Table:
+        def state(files, columns=None, filters=None) -> pa.Table:
             target = (
                 EVENT_SCHEMA
                 if columns is None
@@ -1857,18 +1857,43 @@ def lake_diff(
             if not files:
                 return target.empty_table()
             t = pa.concat_tables(
-                [pq.read_table(f, columns=columns) for f in files],
+                [pq.read_table(f, columns=columns, filters=filters) for f in files],
                 promote_options="permissive",
             )
             return conform(lww_merge_sorted(t), target)
 
+        slim_schema = pa.schema(
+            [EVENT_SCHEMA.field(c) for c in _DIFF_SLIM_COLS]
+            + [f for f in out_schema if f.name not in EVENT_SCHEMA.names]
+        )
         out = []
         for frm, to in zip(batch["from"], batch["to"]):
             # the ``from`` side never needs the payload: read only the
             # key/stamp/op columns (row-group pruning at the scan), so
             # the wide ``text`` of the old snapshot never leaves parquet
             a = state(list(frm), columns=_DIFF_SLIM_COLS)
-            b = state(list(to))
+            # adaptive two-pass on the ``to`` side: a slim stamp pass
+            # finds the changed keys first; when the change is SPARSE
+            # (the steady-state CDC shape) the payload is then read
+            # with a conv_id-set filter — shard files are sorted by
+            # (conv_id, turn_idx), so parquet min/max stats prune
+            # untouched row groups and unchanged text never leaves
+            # disk. Dense changes fall back to one full read (the
+            # two-pass would re-read most of the payload anyway).
+            b_slim = state(list(to), columns=_DIFF_SLIM_COLS)
+            probe = _diff_states(
+                a, b_slim, slim_schema, include_before=include_before
+            )
+            if probe.num_rows == 0:
+                out.append(out_schema.empty_table())
+                continue
+            if probe.num_rows < 0.2 * max(1, b_slim.num_rows):
+                import pyarrow.dataset as pads
+
+                convs = pc.unique(_flat(probe["conv_id"]))
+                b = state(list(to), filters=pads.field("conv_id").isin(convs))
+            else:
+                b = state(list(to))
             out.append(_diff_states(a, b, out_schema, include_before=include_before))
         return pa.concat_tables(out, promote_options="permissive")
 

@@ -290,6 +290,61 @@ def test_lake_diff_before_image_stamps(ray_session, tmp_path):
     assert ins["want_ts"].isna().all()
 
 
+def test_lake_diff_sparse_change_selective_payload(ray_session, tmp_path):
+    """A sparse second commit (3 changed convs among 500) takes the
+    adaptive diff's SELECTIVE payload path (slim stamp probe → conv_id
+    in-set filtered re-read); the emitted feed must be exactly the
+    changed keys with the right payload and change labels."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_geodata_pipeline_ray.cdc.replay import lake_diff, replay
+    from etl_geodata_pipeline_ray.cdc.schema import EVENT_SCHEMA
+
+    def row(conv, turn, op, seq, ts_s, text):
+        return {
+            "op": op, "op_seq": seq,
+            "ts": pd.Timestamp("2026-02-01") + pd.Timedelta(seconds=ts_s),
+            "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+        }
+
+    wal, lake = tmp_path / "wal", tmp_path / "lake"
+    wal.mkdir()
+    base = [
+        row(f"c{i:04d}", t, "U", i * 2 + t, 0, f"base text {i} {t}")
+        for i in range(500)
+        for t in (0, 1)
+    ]
+    pq.write_table(pa.Table.from_pylist(base).cast(EVENT_SCHEMA),
+                   wal / "seg-000.parquet")
+    replay(wal, lake, num_shards=8, mode="append", retain_versions=2)
+    delta = [
+        row("c0007", 0, "U", 5000, 60, "updated text"),
+        row("c0123", 1, "D", 5001, 60, None),
+        row("c9999", 0, "U", 5002, 60, "brand new conv"),
+    ]
+    pq.write_table(pa.Table.from_pylist(delta).cast(EVENT_SCHEMA),
+                   wal / "seg-001.parquet")
+    replay(wal, lake, num_shards=8, mode="append")
+    c1, c2 = [e["commit"] for e in commit_log(lake) if e["n_segments"]]
+
+    diff = (
+        lake_diff(lake, c1, c2, include_before=True)
+        .to_pandas()
+        .sort_values("op_seq")
+        .reset_index(drop=True)
+    )
+    assert list(diff["conv_id"]) == ["c0007", "c0123", "c9999"]
+    assert list(diff["change"]) == ["update", "delete", "insert"]
+    assert list(diff["text"][:1]) == ["updated text"]
+    # before-image stamps: the superseded base revisions for the first
+    # two, null for the insert
+    assert list(diff["before_op_seq"][:2]) == [14, 247]
+    assert pd.isna(diff["before_op_seq"][2])
+
+
 def test_read_conversation_point_lookup(ray_session, tmp_path):
     """Hash-routed single-shard point read equals the oracle's slice,
     on both compacted and multi-run lakes, and respects at_commit."""
