@@ -333,6 +333,17 @@ def _file_zones(t: pa.Table) -> dict:
         lo, hi = mm["min"].value, mm["max"].value
         if lo is not None:
             zones["ts"] = {"min": int(lo), "max": int(hi)}
+    if "conv_id" in t.column_names and t.num_rows:
+        # [min,max] range over the merge key: point lookups
+        # (read_conversation/read_conversations) skip whole files
+        # manifest-side — sound even pre-merge on multi-run shards,
+        # because a file outside the range holds NO revision of the
+        # looked-up key. min_max, not first/last, so soundness never
+        # rides the file-sort invariant.
+        mm = pc.min_max(t["conv_id"])
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is not None:
+            zones["conv_id"] = {"min": lo, "max": hi}
     return zones
 
 
@@ -1650,18 +1661,33 @@ def read_lake(
     )
 
 
+def _conv_zone_excludes(frec: dict, conv_ids) -> bool:
+    """True when the file's recorded conv_id [min,max] zone proves it
+    holds no revision of ANY looked-up key — sound pre-merge on
+    multi-run shards (a file outside the range contributes nothing to
+    those keys' LWW merges). Missing zone = may-match."""
+    z = (frec.get("zones") or {}).get("conv_id")
+    if z is None:
+        return False
+    return all(c < z["min"] or c > z["max"] for c in conv_ids)
+
+
 def read_conversation(
     lake_dir: str | Path,
     conv_id: str,
     at_commit: str | None = None,
+    plan_info: dict | None = None,
 ) -> pa.Table:
     """Point lookup: hash-route ``conv_id`` to its single owning shard
-    and read ONLY that shard's files (row-group pruned by a conv_id
-    filter — shard files are sorted by (conv_id, turn_idx), so parquet
-    min/max statistics skip non-matching row groups), then LWW-merge
-    and drop tombstones. At 10^10-row scale this touches one shard's
-    files, never the lake. Returns the conversation's turns in
-    turn_idx order (empty table if unknown)."""
+    and read ONLY that shard's files (files whose manifest conv_id
+    [min,max] zone excludes the key are skipped with zero footer
+    opens; survivors are row-group pruned by a conv_id filter — shard
+    files are sorted by (conv_id, turn_idx), so parquet min/max
+    statistics skip non-matching row groups), then LWW-merge and drop
+    tombstones. At 10^10-row scale this touches a handful of files in
+    one shard, never the lake. ``plan_info`` (optional dict) is filled
+    with ``files_total/files_skipped``. Returns the conversation's
+    turns in turn_idx order (empty table if unknown)."""
     lake_dir = Path(lake_dir)
     manifests = mf.read_all_manifests(lake_dir)
     if at_commit is not None:
@@ -1676,19 +1702,127 @@ def read_conversation(
         return TRANSCRIPT_SCHEMA.empty_table()
     from ..state.merge_index import lww_merge_sorted
 
-    tabs = []
+    tabs, skipped = [], 0
     for frec in m["files"]:
+        if _conv_zone_excludes(frec, (conv_id,)):
+            skipped += 1
+            continue
         t = pq.read_table(
             lake_dir / frec["path"], filters=[("conv_id", "==", conv_id)]
         )
         if t.num_rows:
             tabs.append(t)
+    if plan_info is not None:
+        plan_info["files_total"] = len(m["files"])
+        plan_info["files_skipped"] = skipped
     if not tabs:
         return TRANSCRIPT_SCHEMA.empty_table()
     t = lww_merge_sorted(pa.concat_tables(tabs, promote_options="permissive"))
     t = t.filter(pc.not_equal(t["op"], pa.scalar("D")))
     t = conform(t, TRANSCRIPT_SCHEMA)
     return t.take(pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")]))
+
+
+def read_conversations(
+    lake_dir: str | Path,
+    conv_ids,
+    columns: list[str] | None = None,
+    at_commit: str | None = None,
+    plan_info: dict | None = None,
+) -> ray.data.Dataset:
+    """Batch point lookup: fetch many conversations from a huge lake
+    as a streaming Dataset — the "sample 10k transcripts out of 10^10
+    rows" read a training-data pipeline issues constantly. The plan
+    touches ONLY the shards that own a looked-up key (hash routing),
+    and within each, only the files whose manifest conv_id zone can
+    contain one (exact pre-merge pruning — conv_id is the merge key,
+    so filtering revisions == filtering merged rows); survivors scan
+    with an ``isin`` filter restricted to that shard's own targets
+    (row-group pruned). One merge task per owning shard, LWW +
+    tombstone drop per shard, no global sort (each conversation's
+    turns arrive together and turn-ordered within its shard's block).
+    ``plan_info`` is filled with shards/files totals and skip counts.
+    """
+    import pyarrow.dataset as pads
+
+    lake_dir = Path(lake_dir)
+    conv_ids = sorted(set(conv_ids))
+    manifests = mf.read_all_manifests(lake_dir)
+    if at_commit is not None:
+        manifests = _snapshot_manifests(lake_dir, manifests, at_commit)
+    sch = TRANSCRIPT_SCHEMA
+
+    def empty_result() -> ray.data.Dataset:
+        t = sch.empty_table()
+        return ray.data.from_arrow(t.select(columns) if columns else t)
+
+    if not manifests or not conv_ids:
+        if plan_info is not None:
+            plan_info.update(shards_total=len(manifests), shards_skipped=len(manifests),
+                             files_total=0, files_skipped=0)
+        return empty_result()
+    with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
+        num_shards = json.load(f)["num_shards"]
+    ids_arr = np.array(conv_ids, dtype=object)
+    owner = shard_of(hash_u64(ids_arr), num_shards)
+    by_shard: dict[int, list[str]] = {}
+    for cid, sh in zip(conv_ids, owner):
+        by_shard.setdefault(int(sh), []).append(cid)
+
+    items, f_total, f_skip = [], 0, 0
+    for sh, targets in sorted(by_shard.items()):
+        m = manifests.get(sh)
+        if m is None or not m["files"]:
+            continue
+        f_total += len(m["files"])
+        keep = [f["path"] for f in m["files"]
+                if not _conv_zone_excludes(f, targets)]
+        f_skip += len(m["files"]) - len(keep)
+        if keep:
+            items.append({
+                "files": [str(lake_dir / p) for p in keep],
+                "targets": targets,
+            })
+    if plan_info is not None:
+        plan_info["shards_total"] = sum(1 for m in manifests.values() if m["files"])
+        plan_info["shards_skipped"] = plan_info["shards_total"] - len(items)
+        plan_info["files_total"] = f_total
+        plan_info["files_skipped"] = f_skip
+    if not items:
+        return empty_result()
+
+    need = (
+        sorted(set(columns) | {"conv_id", "turn_idx", "ts", "op_seq", "op"})
+        if columns
+        else None
+    )
+
+    def fetch(batch) -> pa.Table:
+        from ..state.merge_index import lww_merge_sorted
+
+        out = []
+        for flist, targets in zip(batch["files"], batch["targets"]):
+            flt = pads.field("conv_id").isin(list(targets))
+            tabs = []
+            for f in list(flist):
+                cols = need
+                if cols is not None:
+                    present = set(pq.read_schema(f).names)
+                    cols = [c for c in need if c in present]
+                tabs.append(pq.read_table(f, columns=cols, filters=flt))
+            t = lww_merge_sorted(
+                pa.concat_tables(tabs, promote_options="permissive")
+            )
+            t = t.filter(pc.not_equal(t["op"], pa.scalar("D")))
+            t = conform(t, sch)
+            if columns:
+                t = t.select(columns)
+            out.append(t)
+        return pa.concat_tables(out, promote_options="permissive")
+
+    return ray.data.from_items(items).map_batches(
+        fetch, batch_format="pandas", batch_size=1
+    )
 
 
 _DIFF_SLIM_COLS = ["conv_id", "turn_idx", "ts", "op_seq", "op"]

@@ -98,12 +98,17 @@ def validate_lake(lake_dir: str | Path) -> dict:
                 if col not in t.column_names:
                     continue
                 if "values" not in z:
-                    # range zone (ts): stored [min,max] must lie inside
+                    # range zone (ts: int µs; conv_id: string) — the
+                    # stored [min,max] must lie inside the recorded one
                     mm = pc.min_max(t[col])
-                    lo, hi = mm["min"].value, mm["max"].value
-                    if lo is not None and (
-                        int(lo) < z["min"] or int(hi) > z["max"]
-                    ):
+                    if isinstance(z["min"], str):
+                        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    else:
+                        lo = mm["min"].value
+                        hi = mm["max"].value
+                        if lo is not None:
+                            lo, hi = int(lo), int(hi)
+                    if lo is not None and (lo < z["min"] or hi > z["max"]):
                         v.append(f"I7 zone[{col}] range misses stored values")
                     continue
                 stored = set(pc.unique(t[col]).to_pylist())

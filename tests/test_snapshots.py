@@ -624,3 +624,86 @@ def test_phantom_demotion_requires_range_intersection(tmp_path):
     assert log["legacybbbb"].get("phantom") is True
     assert not log["oooslice"].get("phantom")
     assert not log["recommit"].get("phantom")
+
+
+def test_conv_zone_prunes_point_lookup_files(ray_session, tmp_path):
+    """Per-file conv_id [min,max] zones: a multi-run shard whose runs
+    hold DISJOINT conv ranges must serve a point lookup without
+    opening the runs that exclude the key (manifest-side skip, zero
+    footer opens), and the result must equal the full read."""
+    import pandas as pd
+    import ray.data
+
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+    from etl_geodata_pipeline_ray.cdc.replay import read_conversation
+
+    lake = tmp_path / "lake"
+
+    def turns(prefix, n_convs, ts0):
+        rows = []
+        for c in range(n_convs):
+            for t in range(3):
+                rows.append({
+                    "conv_id": f"{prefix}{c:04d}", "turn_idx": t,
+                    "role": "user", "text": f"{prefix} {c} {t}",
+                    "tool": None,
+                    "ts": pd.Timestamp(ts0) + pd.Timedelta(seconds=t),
+                })
+        return pd.DataFrame(rows)
+
+    # two appends with disjoint conv prefixes -> each shard holds two
+    # run files with non-overlapping conv_id ranges
+    upsert_dataset(ray.data.from_pandas(turns("aaa_", 40, "2026-01-01")),
+                   lake, num_shards=4, mode="append")
+    upsert_dataset(ray.data.from_pandas(turns("zzz_", 40, "2026-01-02")),
+                   lake, num_shards=4, mode="append")
+
+    info = {}
+    got = read_conversation(lake, "aaa_0000", plan_info=info)
+    assert got.num_rows == 3
+    assert info["files_total"] >= 2
+    assert info["files_skipped"] >= 1, (
+        "zzz run should be zone-skipped for an aaa lookup"
+    )
+    # equality with the unpruned semantic: every turn text present
+    assert sorted(got["text"].to_pylist()) == [f"aaa_ 0 {t}" for t in range(3)]
+    # unknown key still answers empty (may route to a zone-skipped shard)
+    assert read_conversation(lake, "mmm_nope").num_rows == 0
+
+
+def test_read_conversations_batch_matches_point_lookups(ray_session, tmp_path):
+    """Batch point lookup plans only owning shards, prunes files by
+    conv zone, and returns exactly the union of the per-conversation
+    point reads (projection respected)."""
+    import pandas as pd
+
+    from etl_geodata_pipeline_ray.cdc.replay import (
+        read_conversation,
+        read_conversations,
+    )
+
+    wal, lake, segs = _incremental(tmp_path, "append", retain=3)
+    ora = oracle_final_state(wal).to_pandas()
+    some = sorted(ora["conv_id"].unique()[:5]) + ["no_such_conv"]
+
+    info = {}
+    got = (
+        read_conversations(lake, some, plan_info=info)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = pd.concat(
+        [read_conversation(lake, c).to_pandas() for c in some]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert info["shards_total"] - info["shards_skipped"] <= len(some)
+
+    # projection
+    slim = read_conversations(lake, some[:2], columns=["conv_id", "text"])
+    assert slim.schema().names == ["conv_id", "text"]
+    assert slim.count() == int((ora["conv_id"].isin(some[:2])).sum())
+
+    # empty id list and fresh lake both present the projected schema
+    empty = read_conversations(lake, [], columns=["conv_id"])
+    assert empty.count() == 0 and empty.schema().names == ["conv_id"]
