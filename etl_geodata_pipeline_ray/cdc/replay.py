@@ -1212,6 +1212,57 @@ def expire_snapshots(lake_dir: str | Path, keep: int = 1, lock_cls=None) -> dict
         return {"versions_dropped": dropped, "gc_files": removed}
 
 
+def vacuum(lake_dir: str | Path, lock_cls=None) -> dict:
+    """Reclaim storage left by crashed writers WITHOUT waiting for the
+    next replay/compact: orphan data files no retained manifest
+    references (a run killed after its fan-out wrote shard files but
+    before its manifests landed), stale ``_incoming`` delta-run dirs,
+    quarantine dirs whose per-commit manifest never landed, torn
+    ``.tmp-*`` scratch from interrupted atomic writes under
+    ``_manifests``, and ``.staging-*`` scratch from crashed
+    ``upsert_dataset`` calls. Pure maintenance — manifests and the
+    commit log are never modified, so the committed state is untouched
+    by construction. Runs under the writer lock (``lock_cls`` as in
+    ``replay``; on multi-node pass ``mf.LeaseLock``) so it can never
+    sweep an in-flight writer's scratch."""
+    lake_dir = Path(lake_dir)
+    with (lock_cls or mf.LakeLock)(lake_dir) as lk:
+        manifests = mf.read_all_manifests(lake_dir)
+        removed = _fenced_gc(lake_dir, manifests, getattr(lk, "check", None))
+        tmp_swept = 0
+        for p in (lake_dir / mf.MANIFEST_DIR).glob(".tmp-*"):
+            try:
+                p.unlink()
+                tmp_swept += 1
+            except OSError:
+                pass
+        ingest_swept = 0
+        ingest = lake_dir / "_ingest"
+        if ingest.exists():
+            # upserts serialize on the STREAM flock, not the lake lock:
+            # hold it so an in-flight upsert's staging dir (identical
+            # in shape to an abandoned one) can never be swept; on live
+            # contention skip the stream sweep rather than block.
+            import fcntl
+
+            from .ingest import gc_ingested
+
+            fd = os.open(ingest / ".upsert.lock", os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                pass  # live upsert: its own completion handles scratch
+            else:
+                ingest_swept = gc_ingested(lake_dir)
+            finally:
+                os.close(fd)
+        return {
+            "gc_files": removed,
+            "tmp_files": tmp_swept,
+            "ingest_swept": ingest_swept,
+        }
+
+
 def _commit_quarantine(
     lake_dir: Path,
     commit_id: str,

@@ -707,3 +707,44 @@ def test_read_conversations_batch_matches_point_lookups(ray_session, tmp_path):
     # empty id list and fresh lake both present the projected schema
     empty = read_conversations(lake, [], columns=["conv_id"])
     assert empty.count() == 0 and empty.schema().names == ["conv_id"]
+
+
+def test_vacuum_reclaims_crash_debris_only(ray_session, tmp_path):
+    """vacuum() removes exactly the debris a crashed writer leaves
+    (orphan shard files, torn .tmp-* scratch, abandoned upsert
+    staging) and never touches committed state."""
+    import pandas as pd
+    import ray.data
+
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+    from etl_geodata_pipeline_ray.cdc.replay import lake_final_table, vacuum
+
+    lake = tmp_path / "lake"
+    df = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(20) for _ in range(2)],
+        "turn_idx": [t for _ in range(20) for t in range(2)],
+        "role": "user", "text": "x", "tool": None,
+        "ts": pd.Timestamp("2026-01-01"),
+    })
+    upsert_dataset(ray.data.from_pandas(df), lake, num_shards=4)
+    before = lake_final_table(lake)
+    committed = set(p.name for p in lake.glob("shard=*/*.parquet"))
+
+    # plant crash debris
+    sh = next(lake.glob("shard=*"))
+    orphan = sh / "v999999-s000.parquet"
+    src = next(p for p in lake.glob("shard=*/*.parquet"))
+    orphan.write_bytes(src.read_bytes())
+    (lake / "_manifests" / ".tmp-deadbeef").write_text("{}")
+    staging = lake / "_ingest" / ".staging-dead"
+    staging.mkdir(parents=True)
+    (staging / "junk.parquet").write_bytes(b"x")
+
+    rep = vacuum(lake)
+    assert rep["gc_files"] >= 1 and rep["tmp_files"] == 1
+    assert rep["ingest_swept"] >= 1
+    assert not orphan.exists() and not staging.exists()
+    assert not (lake / "_manifests" / ".tmp-deadbeef").exists()
+    # committed files + state untouched
+    assert committed <= set(p.name for p in lake.glob("shard=*/*.parquet"))
+    assert lake_final_table(lake).equals(before)
