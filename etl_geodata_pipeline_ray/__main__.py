@@ -12,6 +12,8 @@ equivalent surface for the Ray engine:
     python -m etl_geodata_pipeline_ray quarantine <lake>
     python -m etl_geodata_pipeline_ray log      <lake>
     python -m etl_geodata_pipeline_ray expire   <lake> [--keep N]
+    python -m etl_geodata_pipeline_ray reshard  <lake> <num_shards>
+    python -m etl_geodata_pipeline_ray vacuum   <lake>
 
 The CLI owns its Ray session (init guarded, shutdown on exit); library
 code never calls ray.init().
@@ -101,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("name"), pq_.add_argument("sf_dir")
     pq_.add_argument("--limit", type=int, default=20)
 
+    prs = sub.add_parser("reshard", help="rewrite a lake to a new shard count")
+    prs.add_argument("lake")
+    prs.add_argument("num_shards", type=int)
+    prs.add_argument("--salt-threshold", type=int, default=512 << 20)
+
+    pvc = sub.add_parser("vacuum", help="reclaim crashed-writer debris")
+    pvc.add_argument("lake")
+
     a = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -179,6 +189,16 @@ def main(argv: list[str] | None = None) -> int:
                 df = ds.to_pandas()
                 print(df.head(a.limit).to_string())
                 print(f"[{len(df)} rows]")
+        elif a.cmd == "reshard":
+            from .cdc.replay import reshard
+
+            print(json.dumps(reshard(
+                a.lake, a.num_shards, salt_threshold=a.salt_threshold,
+            )))
+        elif a.cmd == "vacuum":
+            from .cdc.replay import vacuum
+
+            print(json.dumps(vacuum(a.lake)))
         elif a.cmd == "query":
             from pathlib import Path as _P
 

@@ -49,13 +49,7 @@ def _next_offset(lake_dir: Path, stream: Path) -> int:
     upsert may have staged-but-uncommitted segments)."""
     base = 0
     manifests = mf.read_all_manifests(lake_dir)
-    meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
-    num_shards = len(manifests)
-    if meta_path.exists():
-        import json
-
-        with open(meta_path) as f:
-            num_shards = json.load(f)["num_shards"]
+    num_shards = mf.lake_meta(lake_dir).get("num_shards", len(manifests))
     for name in _committed_segment_names(lake_dir, manifests, num_shards):
         base = max(base, mf.segment_offset(name) + 1)
     for p in stream.glob("seg-*.parquet"):

@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 MANIFEST_DIR = "_manifests"
+RESHARD_MARKER = "_reshard_commit.json"
 
 
 def shard_dir(lake_dir: str | Path, shard: int) -> Path:
@@ -34,6 +35,37 @@ def shard_dir(lake_dir: str | Path, shard: int) -> Path:
 
 def manifest_path(lake_dir: str | Path, shard: int) -> Path:
     return Path(lake_dir) / MANIFEST_DIR / f"shard-{shard:05d}.json"
+
+
+def reshard_marker(lake_dir: str | Path) -> dict | None:
+    """The pending-reshard commit marker, if a committed-but-not-yet-
+    finalized shard-count change exists (``replay.reshard``). While it
+    exists, the staged manifest set under ``_reshard-{commit}/`` IS
+    the committed state; the next writer finalizes the swap."""
+    p = Path(lake_dir) / MANIFEST_DIR / RESHARD_MARKER
+    if not p.exists():
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def reshard_staging_dir(lake_dir: str | Path, commit_id: str) -> Path:
+    return Path(lake_dir) / MANIFEST_DIR / f"_reshard-{commit_id}"
+
+
+def lake_meta(lake_dir: str | Path) -> dict:
+    """``_lake.json`` resolved through any pending reshard marker —
+    the ONE way to learn the lake's effective ``num_shards`` (a
+    committed-but-unfinalized reshard already owns the hash layout)."""
+    p = Path(lake_dir) / MANIFEST_DIR / "_lake.json"
+    meta: dict = {}
+    if p.exists():
+        with open(p) as f:
+            meta = json.load(f)
+    marker = reshard_marker(lake_dir)
+    if marker is not None:
+        meta["num_shards"] = marker["to"]
+    return meta
 
 
 def _fsync_dir(d: Path) -> None:
@@ -76,6 +108,15 @@ def atomic_write_json(obj: dict, dest: Path) -> None:
 
 
 def read_manifest(lake_dir: str | Path, shard: int) -> dict | None:
+    marker = reshard_marker(lake_dir)
+    if marker is not None:
+        if shard >= marker["to"]:
+            return None  # shard doesn't exist under the committed layout
+        sp = reshard_staging_dir(lake_dir, marker["commit"]) / f"shard-{shard:05d}.json"
+        if sp.exists():
+            with open(sp) as f:
+                return json.load(f)
+        # staged file already moved into place by a partial finalize
     p = manifest_path(lake_dir, shard)
     if not p.exists():
         return None
@@ -84,9 +125,30 @@ def read_manifest(lake_dir: str | Path, shard: int) -> dict | None:
 
 
 def read_all_manifests(lake_dir: str | Path) -> dict[int, dict]:
+    """Every shard's current manifest. If a reshard marker exists, the
+    committed state is the STAGED set: staged manifests win, main-dir
+    manifests fill in only for shards a partial finalize already moved
+    (each move is one atomic rename, so per shard exactly one of the
+    two exists with the new content), and shards ≥ ``to`` are dead.
+    This makes readers correct through every crash point of the
+    finalize sequence without writing anything."""
     mdir = Path(lake_dir) / MANIFEST_DIR
     out: dict[int, dict] = {}
     if not mdir.exists():
+        return out
+    marker = reshard_marker(lake_dir)
+    if marker is not None:
+        sdir = reshard_staging_dir(lake_dir, marker["commit"])
+        if sdir.exists():
+            for p in sorted(sdir.glob("shard-*.json")):
+                with open(p) as f:
+                    m = json.load(f)
+                out[m["shard"]] = m
+        for p in sorted(mdir.glob("shard-*.json")):
+            with open(p) as f:
+                m = json.load(f)
+            if m["shard"] < marker["to"] and m["shard"] not in out:
+                out[m["shard"]] = m
         return out
     for p in sorted(mdir.glob("shard-*.json")):
         with open(p) as f:

@@ -546,6 +546,9 @@ def replay(
 
     with (lock_cls or mf.LakeLock)(lake_dir) as lk:
         fence = lk.check
+        # a committed-but-unfinalized reshard owns the hash layout:
+        # complete its swap before anything reads num_shards/manifests
+        _finalize_reshard_if_pending(lake_dir, fence)
         # the meta decision runs INSIDE the lock: two concurrent FIRST
         # replays with different num_shards would otherwise each
         # proceed with their own local value (last meta write wins)
@@ -914,6 +917,7 @@ def compact(
         with open(meta_path) as f:
             retain = json.load(f).get("retain_versions", 1)
     with (lock_cls or mf.LakeLock)(lake_dir) as lk:
+        _finalize_reshard_if_pending(lake_dir, lk.check)
         return _compact_locked(lake_dir, salt_threshold, retain, fence=lk.check)
 
 
@@ -921,8 +925,7 @@ def _compact_locked(
     lake_dir: Path, salt_threshold: int, retain_versions: int = 1, fence=None
 ) -> dict:
     manifests = mf.read_all_manifests(lake_dir)
-    with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
-        num_shards = json.load(f)["num_shards"]
+    num_shards = mf.lake_meta(lake_dir)["num_shards"]
 
     plans = []
     for sh, m in manifests.items():
@@ -983,6 +986,285 @@ def _compact_locked(
     return {"shards_compacted": len(by_shard), "gc_files": removed}
 
 
+@ray.remote
+def _reshard_task(
+    lake_dir: str,
+    new_shard: int,
+    salt: int,
+    k: int,
+    new_num_shards: int,
+    version: int,
+    src_files: list[str],
+) -> dict:
+    """Rebuild one (new_shard, salt) keyspace from the old layout's
+    files: read each contributing source file, keep the rows that
+    hash-route to this new shard (and salt), LWW-merge (the sources
+    may be multi-run — every revision of a kept key is in this task's
+    input because its old shard is in the residue class), and write
+    one sorted file through the atomic protocol. Tombstones are
+    retained — reshard changes layout, never state."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+    from ..state.merge_index import lww_merge_sorted
+
+    tabs = []
+    for f in src_files:
+        t = pq.read_table(str(Path(lake_dir) / f))
+        if t.num_rows:
+            h = hash_u64(t["conv_id"])
+            mask = shard_of(h, new_num_shards) == new_shard
+            if k > 1:
+                mask &= salt_of(h, new_num_shards, k) == salt
+            t = t.filter(pa.array(mask))
+        if t.num_rows:
+            tabs.append(t)
+    if not tabs:
+        return {"shard": new_shard, "salt": salt, "k": k, "version": version,
+                "path": None, "rows": 0, "bytes": 0, "zones": {}}
+    out = lww_merge_sorted(pa.concat_tables(tabs, promote_options="permissive"))
+    rel = f"shard={new_shard:05d}/v{version:06d}-s{salt:03d}.parquet"
+    nbytes = mf.atomic_write_table(out, Path(lake_dir) / rel)
+    return {"shard": new_shard, "salt": salt, "k": k, "version": version,
+            "path": rel, "rows": out.num_rows, "bytes": nbytes,
+            "zones": _file_zones(out)}
+
+
+def reshard(
+    lake_dir: str | Path,
+    new_num_shards: int,
+    salt_threshold: int = 512 * 1024 * 1024,
+    lock_cls=None,
+) -> dict:
+    """Partition evolution: rewrite the lake from its current hash
+    layout to ``new_num_shards`` shards — the operation a growing
+    10^10-event lake needs when its shard count stops matching the
+    cluster (e.g. 64 → 256 as nodes are added).
+
+    Distribution: with ``g = gcd(old, new)``, a conv hash that lives
+    in old shard ``s`` can only land in a new shard ``t`` with
+    ``t ≡ s (mod g)`` — so each new shard reads exactly its residue
+    class of old shards. For the natural growth shapes (N→k·N or
+    N→N/k) that is each old shard being read by exactly its k children
+    (or k parents folding into one child); read amplification is
+    ``new/g`` (resp. 1) and there is NO shuffle. A coprime change
+    (g = 1) would make every new shard read the whole lake — allowed,
+    but warned about loudly.
+
+    Crash safety — two-phase swap, marker as the commit point:
+
+    1. *Prepare* (invisible): new data files land under the new shard
+       dirs at a version above every old file; the full new manifest
+       set is staged under ``_manifests/_reshard-{commit}/``.
+    2. *Commit*: one atomic write of ``_manifests/_reshard_commit.json``.
+       From this instant readers resolve the staged set
+       (``mf.read_all_manifests`` overlays it; ``mf.lake_meta``
+       reports the new shard count).
+    3. *Finalize* (idempotent, re-run by the next writer after any
+       crash): move staged manifests into place (one atomic rename
+       each — readers stay exact through every intermediate state),
+       drop dead old-shard manifests, update ``_lake.json``, append
+       the reshard record to the commit log, remove the marker, GC the
+       old layout's files.
+
+    Reshard truncates time travel: ``at_commit`` older than the
+    reshard RAISES (the old hash layout's files are gone; never a
+    silent empty answer). State is provably unchanged — the final
+    table before and after is byte-equal (tests + ★q64)."""
+    import math
+
+    lake_dir = Path(lake_dir)
+    with (lock_cls or mf.LakeLock)(lake_dir) as lk:
+        fence = getattr(lk, "check", None)
+        _finalize_reshard_if_pending(lake_dir, fence)
+        _sweep_dead_reshard_staging(lake_dir)
+        meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
+        if not meta_path.exists():
+            raise ValueError(f"{lake_dir} is not a lake (no _lake.json)")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        old_n = meta["num_shards"]
+        if int(new_num_shards) == old_n:
+            return {"resharded": False, "num_shards": old_n}
+        if new_num_shards < 1:
+            raise ValueError("new_num_shards must be >= 1")
+        new_n = int(new_num_shards)
+        g = math.gcd(old_n, new_n)
+        if new_n // g > 8:
+            warnings.warn(
+                f"reshard {old_n}→{new_n}: gcd {g} means each old file is "
+                f"read by {new_n // g} new shards — prefer a multiple or "
+                "divisor of the current shard count",
+                stacklevel=2,
+            )
+        manifests = mf.read_all_manifests(lake_dir)
+        commit_id = uuid.uuid4().hex[:12]
+
+        # legacy lakes record committed segments in manifests we are
+        # about to drop: carry the set into the reshard log record so
+        # resume bookkeeping survives the layout change
+        legacy_segments: list[str] = []
+        if any("committed_segments" in m for m in manifests.values()):
+            legacy_segments = sorted(
+                _committed_segment_names(lake_dir, manifests, old_n)
+            )
+
+        version = max((m["version"] for m in manifests.values()), default=0) + 1
+        src_by_res: dict[int, list[str]] = {r: [] for r in range(g)}
+        bytes_by_res: dict[int, int] = {r: 0 for r in range(g)}
+        maxf = 0
+        for sh, m in manifests.items():
+            for f in m["files"]:
+                src_by_res[sh % g].append(f["path"])
+                bytes_by_res[sh % g] += int(f["bytes"])
+                maxf = max(maxf, int(f["bytes"]))
+
+        refs = []
+        for t in range(new_n):
+            src = src_by_res[t % g]
+            if not src:
+                continue
+            est = max(1, bytes_by_res[t % g] * g // new_n)
+            k = max(1, int(np.ceil(est / salt_threshold)))
+            mem = _merge_mem_bytes(0, est, k, maxf)
+            for j in range(k):
+                refs.append(
+                    _reshard_task.options(memory=mem).remote(
+                        str(lake_dir), t, j, k, new_n, version, src
+                    )
+                )
+        stats_rows = ray.get(refs)
+
+        by_shard: dict[int, list[dict]] = {}
+        for r in stats_rows:
+            by_shard.setdefault(int(r["shard"]), []).append(r)
+
+        if fence is not None:
+            fence()  # nothing visible yet: abort point for a zombie
+        sdir = mf.reshard_staging_dir(lake_dir, commit_id)
+        sdir.mkdir(parents=True, exist_ok=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        rows_total = 0
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            futs = []
+            for t in range(new_n):
+                rows = by_shard.get(t, [])
+                files = sorted(
+                    (
+                        {"salt": int(r["salt"]), "path": r["path"],
+                         "rows": int(r["rows"]), "bytes": int(r["bytes"]),
+                         **({"zones": r["zones"]} if r.get("zones") else {})}
+                        for r in rows
+                        if r["path"] is not None
+                    ),
+                    key=lambda f: f["salt"],
+                )
+                m = {
+                    "shard": t,
+                    "version": version,
+                    "salt_k": int(rows[0]["k"]) if rows else 1,
+                    "commit": commit_id,
+                    "first_commit": commit_id,
+                    "history": [],
+                    "files": files,
+                    "rows": sum(f["rows"] for f in files),
+                    "bytes": sum(f["bytes"] for f in files),
+                    "lineage": [],
+                }
+                rows_total += m["rows"]
+                futs.append(
+                    pool.submit(
+                        mf.atomic_write_json, m, sdir / f"shard-{t:05d}.json"
+                    )
+                )
+            for f in futs:
+                f.result()  # every staged manifest durable pre-marker
+
+        if fence is not None:
+            fence()  # the REAL commit point follows immediately
+        mf.atomic_write_json(
+            {"commit": commit_id, "from": old_n, "to": new_n,
+             "segments": legacy_segments},
+            lake_dir / mf.MANIFEST_DIR / mf.RESHARD_MARKER,
+        )
+        # committed: finalize in-line (idempotent; any crash from here
+        # on is completed by the next writer)
+        _finalize_reshard_if_pending(lake_dir, fence)
+        return {
+            "resharded": True,
+            "num_shards": new_n,
+            "from_shards": old_n,
+            "commit": commit_id,
+            "lake_rows": rows_total,
+            "new_files": sum(
+                1 for rs in by_shard.values() for r in rs if r["path"]
+            ),
+        }
+
+
+def _sweep_dead_reshard_staging(lake_dir: Path) -> int:
+    """Remove ``_reshard-*`` staging dirs with NO marker (a reshard
+    crashed during prepare: nothing was committed, the staged files
+    are dead). Caller holds the writer lock and has already finalized
+    any marked swap."""
+    if mf.reshard_marker(lake_dir) is not None:
+        return 0
+    n = 0
+    for d in (Path(lake_dir) / mf.MANIFEST_DIR).glob("_reshard-*"):
+        if d.is_dir():
+            shutil.rmtree(d, ignore_errors=True)
+            n += 1
+    return n
+
+
+def _finalize_reshard_if_pending(lake_dir: Path, fence=None) -> bool:
+    """Complete a committed reshard swap (marker present): move staged
+    manifests into place, drop dead shard manifests, flip
+    ``_lake.json``, log the commit, remove the marker, GC the old
+    layout. Every step is atomic and re-runnable; readers resolve
+    exactly through any crash point via the marker overlay. Returns
+    True if a swap was finalized. Callers hold the writer lock."""
+    marker = mf.reshard_marker(lake_dir)
+    if marker is None:
+        return False
+    if fence is not None:
+        fence()
+    mdir = Path(lake_dir) / mf.MANIFEST_DIR
+    new_n = int(marker["to"])
+    sdir = mf.reshard_staging_dir(lake_dir, marker["commit"])
+    if sdir.exists():
+        for p in sorted(sdir.glob("shard-*.json")):
+            os.replace(p, mdir / p.name)
+        mf._fsync_dir(mdir)
+        shutil.rmtree(sdir, ignore_errors=True)
+    for p in mdir.glob("shard-*.json"):
+        try:
+            sh = int(p.stem.split("-")[1])
+        except (IndexError, ValueError):
+            continue
+        if sh >= new_n:
+            p.unlink(missing_ok=True)
+    meta_path = mdir / "_lake.json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("num_shards") != new_n:
+        meta["num_shards"] = new_n
+        mf.atomic_write_json(meta, meta_path)
+    if marker["commit"] not in {e["commit"] for e in commit_log(lake_dir)}:
+        _append_commit_log(
+            lake_dir, marker["commit"], list(marker.get("segments") or ()),
+            extra={"reshard": {"from": marker["from"], "to": new_n}},
+        )
+    (mdir / mf.RESHARD_MARKER).unlink(missing_ok=True)
+    mf._fsync_dir(mdir)
+    _gc(lake_dir, mf.read_all_manifests(lake_dir))
+    return True
+
+
 def _fenced_gc(lake_dir: Path, new_manifests: dict[int, dict], fence) -> int:
     """GC orphan files, but only while the lease is still provably
     ours. A zombie that stalled past its lease TTL between the last
@@ -1020,7 +1302,9 @@ def _push_history(old_m: dict | None, retain_versions: int) -> list[dict]:
     return ([head] + old_m.get("history", []))[: retain_versions - 1]
 
 
-def _append_commit_log(lake_dir: Path, commit_id: str, segments: list[str]) -> None:
+def _append_commit_log(
+    lake_dir: Path, commit_id: str, segments: list[str], extra: dict | None = None
+) -> None:
     """Ordered commit log (``_manifests/_commits.jsonl``) — the global
     ordering ``read_lake(at_commit=...)`` resolves against, and since
     round 4 THE commit point: appended (fsynced) only AFTER every
@@ -1039,6 +1323,7 @@ def _append_commit_log(lake_dir: Path, commit_id: str, segments: list[str]) -> N
         "first_segment": min(segments) if segments else None,
         "last_segment": max(segments) if segments else None,
         "segments": sorted(segments),
+        **(extra or {}),
     }
     with open(p, "ab") as f:
         lead = b""
@@ -1121,12 +1406,32 @@ def _snapshot_manifests(
     expired ones are an error, never a silent wrong answer)."""
     import math
 
-    ranks = {e["commit"]: i for i, e in enumerate(commit_log(lake_dir))}
+    if mf.reshard_marker(lake_dir) is not None:
+        # a committed-but-unfinalized reshard: the old layout is
+        # already dead and the new commit is not yet logged — loud,
+        # never a silent empty snapshot
+        raise ValueError(
+            "a reshard is committed but not yet finalized; time travel "
+            "resumes after the next write finalizes the swap (reshard "
+            "truncates history at its commit)"
+        )
+    log = commit_log(lake_dir)
+    ranks = {e["commit"]: i for i, e in enumerate(log)}
     if at_commit not in ranks:
         raise ValueError(
             f"unknown commit {at_commit!r}; see commit_log() for valid ids"
         )
     target = ranks[at_commit]
+    floor = max(
+        (i for i, e in enumerate(log) if e.get("reshard")), default=-1
+    )
+    if target < floor:
+        raise ValueError(
+            f"commit {at_commit!r} predates the lake's reshard "
+            f"({log[floor]['reshard']['from']}→{log[floor]['reshard']['to']} "
+            f"at commit {log[floor]['commit']!r}); resharding rewrites the "
+            "hash layout and truncates time travel"
+        )
     # A manifest entry with a STRING commit id ABSENT from the log is a
     # torn-window write: manifests land BEFORE the log append (the
     # commit point), so an unlogged id is NEWER than every logged
@@ -1190,6 +1495,7 @@ def expire_snapshots(lake_dir: str | Path, keep: int = 1, lock_cls=None) -> dict
     in-flight manifests are about to reference)."""
     lake_dir = Path(lake_dir)
     with (lock_cls or mf.LakeLock)(lake_dir) as lk:
+        _finalize_reshard_if_pending(lake_dir, getattr(lk, "check", None))
         manifests = mf.read_all_manifests(lake_dir)
         # fencing point BEFORE any manifest write (same discipline as
         # _replay_locked): a zombie past its lease TTL must abort here,
@@ -1227,9 +1533,11 @@ def vacuum(lake_dir: str | Path, lock_cls=None) -> dict:
     sweep an in-flight writer's scratch."""
     lake_dir = Path(lake_dir)
     with (lock_cls or mf.LakeLock)(lake_dir) as lk:
+        _finalize_reshard_if_pending(lake_dir, getattr(lk, "check", None))
+        dead_staging = _sweep_dead_reshard_staging(lake_dir)
         manifests = mf.read_all_manifests(lake_dir)
         removed = _fenced_gc(lake_dir, manifests, getattr(lk, "check", None))
-        tmp_swept = 0
+        tmp_swept = dead_staging
         for p in (lake_dir / mf.MANIFEST_DIR).glob(".tmp-*"):
             try:
                 p.unlink()
@@ -1414,11 +1722,7 @@ def lake_stats(lake_dir: str | Path) -> dict:
     manifests = mf.read_all_manifests(lake_dir)
     qrecs = _quarantine_manifests(lake_dir)
     log = commit_log(lake_dir)
-    meta = {}
-    meta_path = lake_dir / mf.MANIFEST_DIR / "_lake.json"
-    if meta_path.exists():
-        with open(meta_path) as f:
-            meta = json.load(f)
+    meta = mf.lake_meta(lake_dir)
     fully_committed = _committed_segment_names(
         lake_dir, manifests, meta.get("num_shards", len(manifests))
     )
@@ -1438,6 +1742,7 @@ def lake_stats(lake_dir: str | Path) -> dict:
         ),
         "quarantined_rows": sum(r["rows"] for r in qrecs),
         "quarantine_commits": len(qrecs),
+        "pending_reshard": mf.reshard_marker(lake_dir) is not None,
     }
 
 
@@ -1745,8 +2050,7 @@ def read_conversation(
         manifests = _snapshot_manifests(lake_dir, manifests, at_commit)
     if not manifests:
         return TRANSCRIPT_SCHEMA.empty_table()
-    with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
-        num_shards = json.load(f)["num_shards"]
+    num_shards = mf.lake_meta(lake_dir)["num_shards"]
     sh = int(shard_of(hash_u64(np.array([conv_id], dtype=object)), num_shards)[0])
     m = manifests.get(sh)
     if m is None or not m["files"]:
@@ -1812,8 +2116,7 @@ def read_conversations(
             plan_info.update(shards_total=len(manifests), shards_skipped=len(manifests),
                              files_total=0, files_skipped=0)
         return empty_result()
-    with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
-        num_shards = json.load(f)["num_shards"]
+    num_shards = mf.lake_meta(lake_dir)["num_shards"]
     ids_arr = np.array(conv_ids, dtype=object)
     owner = shard_of(hash_u64(ids_arr), num_shards)
     by_shard: dict[int, list[str]] = {}

@@ -46,8 +46,7 @@ def validate_lake(lake_dir: str | Path) -> dict:
 
     lake_dir = Path(lake_dir)
     manifests = mf.read_all_manifests(lake_dir)
-    with open(lake_dir / mf.MANIFEST_DIR / "_lake.json") as f:
-        num_shards = json.load(f)["num_shards"]
+    num_shards = mf.lake_meta(lake_dir)["num_shards"]
 
     items = []
     for sh, m in manifests.items():
