@@ -385,10 +385,11 @@ def _write_env_segments(env: pa.Table, ids, split: int, wal: Path) -> list[int]:
     return bounds
 
 
-def _events_lake(sf_dir: str) -> Path:
+def _events_lake(sf_dir: str, base: str = "/tmp/graft_q52") -> Path:
     """Build (rebuild) the deterministic events-derived lake used by
     q52/q53; returns the lake dir. See q52's docstring for the WAL
-    derivation rules."""
+    derivation rules. ``base`` isolates callers that go on to MUTATE
+    the lake (q64 reshards it) from the shared read-only copy."""
     import shutil
 
     from ..cdc.replay import replay
@@ -396,7 +397,7 @@ def _events_lake(sf_dir: str) -> Path:
     env, ids, split = _events_env(sf_dir)
     # per-process root: two concurrent runs (e.g. bench + a driver
     # compare) must not rmtree each other's WAL/lake mid-replay
-    root = _pid_root("/tmp/graft_q52", sf_dir)
+    root = _pid_root(base, sf_dir)
     wal, lake = root / "wal", root / "lake"
     shutil.rmtree(root, ignore_errors=True)
     wal.mkdir(parents=True)
@@ -1026,3 +1027,30 @@ FROM live GROUP BY 1 ORDER BY 1
 """
 
 EXTRA_QUERIES2["q63_incremental_kpis"] = (q63_incremental_kpis, Q63_SQL)
+
+
+# ---------------------------------------------------------------- q64
+def q64_reshard_lake(sf_dir: str) -> pd.DataFrame:
+    """Partition evolution (``reshard``), driver-oracle-checked: the
+    q52 events-derived lake (16 shards) is rewritten to 32 shards
+    through the real two-phase marker-swap protocol — residue-class
+    reads (each new shard reads exactly one old shard, no shuffle),
+    staged manifests, atomic ``_reshard_commit.json`` flip, idempotent
+    finalize + old-layout GC — and the FINAL TABLE after the reshard
+    must still match q52's pure-SQL window oracle byte-for-byte. This
+    puts the grow-the-lake operation (64 → 256 shards as nodes are
+    added at 10^10 events) under the driver's rows+schema+hash gate."""
+    from ..cdc.replay import lake_final_table, reshard
+    from ..cdc.manifest import lake_meta
+
+    lake = _events_lake(sf_dir, base="/tmp/graft_q64")
+    stats = reshard(lake, 32)
+    meta = lake_meta(lake)
+    assert meta["num_shards"] == 32, meta
+    assert stats["resharded"] and stats["num_shards"] == 32, stats
+    return lake_final_table(lake).to_pandas()
+
+
+Q64_SQL = Q52_SQL  # state is provably unchanged by partition evolution
+
+EXTRA_QUERIES2["q64_reshard_lake"] = (q64_reshard_lake, Q64_SQL)
