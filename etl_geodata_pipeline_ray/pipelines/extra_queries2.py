@@ -1054,3 +1054,55 @@ def q64_reshard_lake(sf_dir: str) -> pd.DataFrame:
 Q64_SQL = Q52_SQL  # state is provably unchanged by partition evolution
 
 EXTRA_QUERIES2["q64_reshard_lake"] = (q64_reshard_lake, Q64_SQL)
+
+
+# ---------------------------------------------------------------- q65
+def q65_point_lookup(sf_dir: str) -> pd.DataFrame:
+    """Batch point lookup (``read_conversations``), the serving-path
+    read ("fetch these 10k transcripts out of 10^10 rows"),
+    driver-oracle-checked: a deterministic ~9% slice of conv_ids
+    (user_id % 11 == 3) is fetched from the q52 events-derived lake
+    via hash routing + per-file conv_id range zones, and must equal
+    q52's SQL final state restricted to those ids. The plan counters
+    prove the read is sub-linear: with fewer looked-up ids than
+    shards, at least one whole shard must be skipped."""
+    import pyarrow.parquet as pq
+
+    from ..cdc.replay import read_conversations
+
+    lake = _events_lake(sf_dir)
+    uids = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])["user_id"]
+    uniq = pc.unique(uids).to_numpy(zero_copy_only=False)
+    ids = sorted(str(u) for u in uniq if int(u) % 11 == 3)
+    info: dict = {}
+    out = (
+        read_conversations(lake, ids, plan_info=info)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    if len(ids) < info["shards_total"]:
+        assert info["shards_skipped"] >= info["shards_total"] - len(ids), info
+    return out
+
+
+Q65_SQL = """
+WITH env AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS op_seq, ts, event_type AS role, props AS text,
+         CASE WHEN event_id >= (SELECT max(event_id) // 2 FROM events)
+              THEN event_type END AS tool
+  FROM events),
+latest AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                              ORDER BY ts DESC, op_seq DESC) AS rn
+                 FROM env) WHERE rn = 1)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest
+WHERE op <> 'D' AND CAST(conv_id AS BIGINT) % 11 = 3
+ORDER BY 1, 2
+"""
+
+EXTRA_QUERIES2["q65_point_lookup"] = (q65_point_lookup, Q65_SQL)
