@@ -206,6 +206,45 @@ def test_schema_widening_across_segments(ray_session, tmp_path):
     assert final.schema.field("text").type == pa.large_string()
 
 
+def test_timestamp_unit_widening_lww(ray_session, tmp_path):
+    """A segment whose writer stamped ts at MILLISECOND resolution
+    unifies with microsecond segments, and LWW ordering is correct
+    ACROSS the unit change (4000 ms must beat 2000 µs — a naive
+    raw-int64 compare would get this backwards by 1000×)."""
+    import pyarrow as pa
+
+    wal = tmp_path / "wal"
+    lake = tmp_path / "lake"
+    wal.mkdir()
+    t0 = pa.table(
+        {
+            "op": ["U", "U"], "op_seq": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_000, 2_000], pa.timestamp("us")),
+            "conv_id": ["a", "a"], "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": ["user", "assistant"],
+            "text": pa.array(["x", "y"], pa.large_string()),
+        }
+    )
+    pq.write_table(t0, wal / "seg-000000000000.parquet")
+    t1 = pa.table(
+        {
+            "op": ["U", "D"], "op_seq": pa.array([3, 4], pa.int32()),
+            "ts": pa.array([4_000, 5_000], pa.timestamp("ms")),  # ms!
+            "conv_id": ["a", "a"], "turn_idx": pa.array([1, 0], pa.int16()),
+            "role": ["assistant", "user"],
+            "text": pa.array(["y2", "gone"], pa.string()),
+        }
+    )
+    pq.write_table(t1, wal / "seg-000000000002.parquet")
+
+    replay(wal, lake, num_shards=4)
+    final = lake_final_table(lake)
+    assert final["text"].to_pylist() == ["y2"], final.to_pydict()
+    assert final.schema.field("ts").type == pa.timestamp("us")
+    # 4000 ms re-expressed in the unified µs unit
+    assert final["ts"].cast(pa.int64()).to_pylist() == [4_000_000]
+
+
 def test_concurrent_replay_refused(ray_session, tmp_path):
     """A live flock on the lake makes a second replay fail loudly —
     in-process (second fd) AND from another OS process; a holder that
