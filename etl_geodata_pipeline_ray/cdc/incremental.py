@@ -44,7 +44,7 @@ from ray.data.aggregate import Sum
 
 from ..stages.relational import planned_semi_anti_join
 from ..stages.text import token_count_batch
-from .replay import lake_diff, read_lake
+from .replay import _flat, lake_diff, read_lake
 from .schema import conform
 
 LEAF_SCHEMA = pa.schema(
@@ -162,6 +162,7 @@ def advance_turn_metrics(
     from_commit: str,
     to_commit: str,
     n_buckets: int = 32,
+    diff: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Leaf table at ``to_commit`` from the table at ``from_commit``:
     drop every changed key (size-gated anti-join: broadcast ``is_in``
@@ -172,8 +173,13 @@ def advance_turn_metrics(
     The diff is materialized once: it feeds two consumers (the key
     set and the live rows) and is bounded by the CHANGE volume — far
     smaller than the snapshots whose per-shard diff would otherwise
-    re-execute per consumer (2x read amplification)."""
-    diff = lake_diff(lake_dir, from_commit, to_commit).materialize()
+    re-execute per consumer (2x read amplification). A caller
+    advancing BOTH the leaf table and the rollup for the same commit
+    window should compute it once —
+    ``diff = lake_diff(lake, c1, c2).materialize()`` — and pass it to
+    both advances via ``diff=`` (halves the changelog I/O)."""
+    if diff is None:
+        diff = lake_diff(lake_dir, from_commit, to_commit).materialize()
     survivors = planned_semi_anti_join(
         metrics.map_batches(_with_key, batch_format="pyarrow"),
         _diff_keys(diff),
@@ -195,6 +201,7 @@ def advance_conv_counts(
     to_commit: str,
     n_buckets: int = 32,
     broadcast_threshold_bytes: int = 64 << 20,
+    diff: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Rollup at ``to_commit`` by delta algebra (module docstring):
     base rollup + (+1, +new_tokens) per live diff row + (-1,
@@ -211,10 +218,13 @@ def advance_conv_counts(
     touches the rollup with NO shuffle at all. A dense changelog falls
     back to one union + repartitioned groupby-sum of rollup-width
     rows. The diff feeds two consumers and is change-volume-bounded,
-    so it is materialized once (see ``advance_turn_metrics``)."""
+    so it is materialized once (see ``advance_turn_metrics``) — or
+    passed in via ``diff=`` to share one changelog across both
+    advances of a commit step."""
     import ray as _ray
 
-    diff = lake_diff(lake_dir, from_commit, to_commit).materialize()
+    if diff is None:
+        diff = lake_diff(lake_dir, from_commit, to_commit).materialize()
 
     def plus(t: pa.Table) -> pa.Table:
         leaf = _leaf(t.filter(pc.not_equal(t["change"], pa.scalar("delete"))))
@@ -288,6 +298,11 @@ def advance_conv_counts(
         )
         return finish(summed)
 
+    # pin the base rollup's blocks before consuming it twice (probe +
+    # apply): without this, chained advances (k = advance(k, ...) per
+    # commit) re-execute every earlier advance's lazy lineage on each
+    # consume — O(n^2) total recomputation over n steps
+    base = base.materialize()
     dt = pa.concat_tables(
         _ray.get(deltas.to_arrow_refs()), promote_options="permissive"
     )
@@ -298,7 +313,7 @@ def advance_conv_counts(
 
     def probe(t: pa.Table) -> pa.Table:
         d = _ray.get(ref)
-        keys = _flat_strings(d["conv_id"])
+        keys = _flat(d["conv_id"])
         m = pc.fill_null(pc.is_in(t["conv_id"], value_set=keys), False)
         return t.select(["conv_id"]).filter(m)
 
@@ -306,7 +321,7 @@ def advance_conv_counts(
     # bounded by |delta convs| (itself under the broadcast gate)
     matched = pa.concat_arrays(
         [
-            _flat_strings(t["conv_id"])
+            _flat(t["conv_id"])
             for t in _ray.get(
                 base.map_batches(probe, batch_format="pyarrow").to_arrow_refs()
             )
@@ -344,10 +359,3 @@ def advance_conv_counts(
     return updated.union(ray.data.from_arrow(fresh))
 
 
-def _flat_strings(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    if not isinstance(col, pa.ChunkedArray):
-        return col
-    ca = col.combine_chunks()
-    if isinstance(ca, pa.Array):
-        return ca
-    return ca.chunk(0) if ca.num_chunks else pa.array([], type=col.type)

@@ -1067,8 +1067,12 @@ def reshard(
        crash): move staged manifests into place (one atomic rename
        each — readers stay exact through every intermediate state),
        drop dead old-shard manifests, update ``_lake.json``, append
-       the reshard record to the commit log, remove the marker, GC the
-       old layout's files.
+       the reshard record to the commit log, remove the marker. The
+       old layout's files are NOT GC'd immediately: a
+       ``_reshard_dead-{commit}.json`` pin keeps them on disk until
+       ``retain_versions`` subsequent commits exist (the same grace
+       compact/expire give via manifest history), so a lock-free
+       reader mid-scan on the pre-reshard file list is never broken.
 
     Reshard truncates time travel: ``at_commit`` older than the
     reshard RAISES (the old hash layout's files are gone; never a
@@ -1093,7 +1097,18 @@ def reshard(
             raise ValueError("new_num_shards must be >= 1")
         new_n = int(new_num_shards)
         g = math.gcd(old_n, new_n)
-        if new_n // g > 8:
+        if g == 1:
+            warnings.warn(
+                f"reshard {old_n}→{new_n}: gcd 1 (coprime counts) means "
+                f"EVERY old file is read by all {new_n} new shards — "
+                "prefer a multiple or divisor of the current shard count",
+                stacklevel=2,
+            )
+        elif g < min(old_n, new_n) and new_n // g > 8:
+            # not a clean multiple/divisor AND high fan-out; a clean
+            # k x growth (g == old_n) inherently reads each file k
+            # times and needs no warning — the advice would be
+            # unsatisfiable
             warnings.warn(
                 f"reshard {old_n}→{new_n}: gcd {g} means each old file is "
                 f"read by {new_n // g} new shards — prefer a multiple or "
@@ -1184,6 +1199,26 @@ def reshard(
             for f in futs:
                 f.result()  # every staged manifest durable pre-marker
 
+        # pin the old layout's files (current + retained history) for a
+        # retention grace: a lock-free reader that resolved the
+        # pre-reshard manifests must not have files unlinked mid-scan.
+        # The pin expires after retain_versions subsequent commits —
+        # the same window compact/expire give — and _gc enforces it.
+        # Written BEFORE the marker: a crash here leaves a pin whose
+        # commit never reaches the log; _gc sweeps it as debris.
+        old_files = sorted(
+            {f["path"] for m in manifests.values() for f in m["files"]}
+            | {
+                f["path"]
+                for m in manifests.values()
+                for h in m.get("history", [])
+                for f in h["files"]
+            }
+        )
+        mf.atomic_write_json(
+            {"commit": commit_id, "files": old_files},
+            lake_dir / mf.MANIFEST_DIR / f"_reshard_dead-{commit_id}.json",
+        )
         if fence is not None:
             fence()  # the REAL commit point follows immediately
         mf.atomic_write_json(
@@ -1224,8 +1259,9 @@ def _sweep_dead_reshard_staging(lake_dir: Path) -> int:
 def _finalize_reshard_if_pending(lake_dir: Path, fence=None) -> bool:
     """Complete a committed reshard swap (marker present): move staged
     manifests into place, drop dead shard manifests, flip
-    ``_lake.json``, log the commit, remove the marker, GC the old
-    layout. Every step is atomic and re-runnable; readers resolve
+    ``_lake.json``, log the commit, remove the marker, GC (the old
+    layout's files stay pinned for a retention grace — see
+    ``_reshard_pinned``). Every step is atomic and re-runnable; readers resolve
     exactly through any crash point via the marker overlay. Returns
     True if a swap was finalized. Callers hold the writer lock."""
     marker = mf.reshard_marker(lake_dir)
@@ -1255,17 +1291,25 @@ def _finalize_reshard_if_pending(lake_dir: Path, fence=None) -> bool:
         meta["num_shards"] = new_n
         mf.atomic_write_json(meta, meta_path)
     if marker["commit"] not in {e["commit"] for e in commit_log(lake_dir)}:
+        if fence is not None:
+            fence()  # a zombie past its TTL must not append a second
+            # reshard record a successor's finalize already logged
         _append_commit_log(
             lake_dir, marker["commit"], list(marker.get("segments") or ()),
             extra={"reshard": {"from": marker["from"], "to": new_n}},
         )
     (mdir / mf.RESHARD_MARKER).unlink(missing_ok=True)
     mf._fsync_dir(mdir)
-    _gc(lake_dir, mf.read_all_manifests(lake_dir))
+    _fenced_gc(lake_dir, mf.read_all_manifests(lake_dir), fence)
     return True
 
 
-def _fenced_gc(lake_dir: Path, new_manifests: dict[int, dict], fence) -> int:
+def _fenced_gc(
+    lake_dir: Path,
+    new_manifests: dict[int, dict],
+    fence,
+    pin_keep: int | None = None,
+) -> int:
     """GC orphan files, but only while the lease is still provably
     ours. A zombie that stalled past its lease TTL between the last
     fence and here could otherwise unlink files a SUCCESSOR's commit
@@ -1282,7 +1326,7 @@ def _fenced_gc(lake_dir: Path, new_manifests: dict[int, dict], fence) -> int:
                 stacklevel=2,
             )
             return 0
-    return _gc(lake_dir, new_manifests)
+    return _gc(lake_dir, new_manifests, pin_keep=pin_keep)
 
 
 def _push_history(old_m: dict | None, retain_versions: int) -> list[dict]:
@@ -1514,7 +1558,9 @@ def expire_snapshots(lake_dir: str | Path, keep: int = 1, lock_cls=None) -> dict
             m["history"] = hist[: max(0, keep - 1)]
             mf.atomic_write_json(m, mf.manifest_path(lake_dir, sh))
             manifests[sh] = m
-        removed = _fenced_gc(lake_dir, manifests, getattr(lk, "check", None))
+        removed = _fenced_gc(
+            lake_dir, manifests, getattr(lk, "check", None), pin_keep=keep
+        )
         return {"versions_dropped": dropped, "gc_files": removed}
 
 
@@ -1666,9 +1712,56 @@ def read_quarantine(lake_dir: str | Path) -> ray.data.Dataset:
     return out
 
 
-def _gc(lake_dir: Path, manifests: dict[int, dict]) -> int:
+def _reshard_pinned(lake_dir: Path, keep: int | None = None) -> set[str]:
+    """Live-file pins from recent reshards. The old layout's files are
+    unreferenced the instant a reshard finalizes, but a lock-free
+    reader that resolved the PRE-reshard manifests may still be
+    streaming them — so they stay on disk until ``keep`` (default: the
+    lake's ``retain_versions``) subsequent commits exist, the same
+    grace window compact/expire give via manifest history. Expired
+    pins and pins from never-committed reshards (crash before the
+    marker landed — their files are still the live manifests' files)
+    are deleted here."""
+    mdir = Path(lake_dir) / mf.MANIFEST_DIR
+    pins = sorted(mdir.glob("_reshard_dead-*.json"))
+    if not pins:
+        return set()
+    if keep is None:
+        keep = 1
+        meta_p = mdir / "_lake.json"
+        if meta_p.exists():
+            with open(meta_p) as f:
+                keep = json.load(f).get("retain_versions", 1)
+        keep = max(1, int(keep))
+    log_ids = [e["commit"] for e in commit_log(lake_dir)]
+    marker = mf.reshard_marker(lake_dir)
+    live: set[str] = set()
+    for p in pins:
+        try:
+            with open(p) as f:
+                pin = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            p.unlink(missing_ok=True)
+            continue
+        c = pin.get("commit")
+        if c in log_ids:
+            if len(log_ids) - 1 - log_ids.index(c) >= keep:
+                p.unlink(missing_ok=True)  # grace over: files GC now
+                continue
+        elif marker is None or marker.get("commit") != c:
+            p.unlink(missing_ok=True)  # reshard never committed
+            continue
+        live.update(str(Path(lake_dir) / rel) for rel in pin.get("files", ()))
+    return live
+
+
+def _gc(lake_dir: Path, manifests: dict[int, dict], pin_keep: int | None = None) -> int:
     """Remove data files not referenced by any manifest and stale
-    delta-run dirs (both are invisible to readers by construction)."""
+    delta-run dirs (both are invisible to readers by construction).
+    Files pinned by a recent reshard (``_reshard_dead-*.json``) are
+    kept until their retention grace expires; ``pin_keep`` overrides
+    the lake's retain_versions for that window (expire_snapshots
+    passes its ``keep``)."""
     live = {
         str(Path(lake_dir) / f["path"]) for m in manifests.values() for f in m["files"]
     }
@@ -1678,6 +1771,7 @@ def _gc(lake_dir: Path, manifests: dict[int, dict]) -> int:
         for h in m.get("history", [])
         for f in h["files"]
     }
+    live |= _reshard_pinned(lake_dir, pin_keep)
     removed = 0
     for p in Path(lake_dir).glob("shard=*/*.parquet"):
         if str(p) not in live:

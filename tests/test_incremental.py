@@ -53,7 +53,12 @@ def test_advance_leaf_and_counts_match_recompute(ray_session, tmp_path):
     lake, (c1, c2, c3) = _lake3(tmp_path)
 
     m1 = turn_metrics(lake, at_commit=c1)
-    m2_inc = advance_turn_metrics(m1, lake, c1, c2)
+    # the documented both-consumers pattern: one materialized diff per
+    # commit window, shared by the leaf advance and the rollup advance
+    from etl_geodata_pipeline_ray.cdc.replay import lake_diff
+
+    d12 = lake_diff(lake, c1, c2).materialize()
+    m2_inc = advance_turn_metrics(m1, lake, c1, c2, diff=d12)
     m2_full = turn_metrics(lake, at_commit=c2)
     pd.testing.assert_frame_equal(_leaf_df(m2_inc), _leaf_df(m2_full))
 
@@ -61,9 +66,10 @@ def test_advance_leaf_and_counts_match_recompute(ray_session, tmp_path):
     m3_inc = advance_turn_metrics(m2_inc, lake, c2, c3)
     pd.testing.assert_frame_equal(_leaf_df(m3_inc), _leaf_df(turn_metrics(lake)))
 
-    # rollup delta algebra, chained the same way
+    # rollup delta algebra, chained the same way (c1->c2 reuses the
+    # shared changelog)
     k1 = conv_counts(m1)
-    k2_inc = advance_conv_counts(k1, m1, lake, c1, c2)
+    k2_inc = advance_conv_counts(k1, m1, lake, c1, c2, diff=d12)
     pd.testing.assert_frame_equal(
         _counts_df(k2_inc), _counts_df(conv_counts(m2_full))
     )

@@ -131,10 +131,33 @@ def test_reshard_crash_windows_read_exact(ray_session, tmp_path, monkeypatch):
     assert lake_final_table(lake).equals(want)
     assert validate_lake(lake)["ok"]
     assert [e for e in commit_log(lake) if e.get("reshard")]
-    # old layout fully GC'd (every live file belongs to a manifest)
+    # old layout PINNED (not GC'd): a lock-free reader that resolved
+    # the pre-reshard manifests keeps its files for a retention grace
+    live = {Path(f).name for f in rp.lake_files(lake)}
+    on_disk = {p.name for p in Path(lake).glob("shard=*/*.parquet")}
+    assert on_disk > live, "old layout should survive the grace window"
+    assert list((Path(lake) / mf.MANIFEST_DIR).glob("_reshard_dead-*.json"))
+    # after retain_versions (=2) subsequent commits the pin expires and
+    # the old layout is reclaimed
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    top = max(int(p.stem.split("-")[1]) for p in Path(wal).glob("seg-*.parquet"))
+    for i in range(2):
+        row = pa.table(
+            {"op": ["U"], "op_seq": pa.array([10**9 + i], pa.int64()),
+             "ts": pa.array([10**15 + i], pa.timestamp("us")),
+             "conv_id": [f"zz{i}"], "turn_idx": pa.array([0], pa.int32()),
+             "role": ["user"], "text": pa.array([f"t{i}"], pa.large_string())}
+        )
+        pq.write_table(row, Path(wal) / f"seg-{top + 10 * (i + 1):012d}.parquet")
+        replay(wal, lake, mode="append")
+    vacuum(lake)
+    assert not list((Path(lake) / mf.MANIFEST_DIR).glob("_reshard_dead-*.json"))
     live = {Path(f).name for f in rp.lake_files(lake)}
     on_disk = {p.name for p in Path(lake).glob("shard=*/*.parquet")}
     assert on_disk == live
+    assert validate_lake(lake)["ok"]
 
 
 def test_replay_continues_after_reshard(ray_session, tmp_path):
