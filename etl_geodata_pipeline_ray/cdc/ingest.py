@@ -32,7 +32,6 @@ from __future__ import annotations
 from pathlib import Path
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
@@ -63,6 +62,7 @@ def upsert_dataset(
     num_shards: int = 32,
     mode: str = "append",
     op: str = "U",
+    lock_wait_s: float | None = 60.0,
     **replay_kw,
 ) -> dict:
     """Commit ``ds`` into the lake as one logical WAL slice.
@@ -164,31 +164,60 @@ def upsert_dataset(
     finally:
         os.close(lock_fd)  # releases the flock
 
-    return replay(stream, lake_dir, num_shards=num_shards, mode=mode, **replay_kw)
+    import time
+
+    deadline = None if lock_wait_s is None else time.monotonic() + lock_wait_s
+    while True:
+        try:
+            return replay(
+                stream, lake_dir, num_shards=num_shards, mode=mode, **replay_kw
+            )
+        except mf.LakeLockedError:
+            if deadline is not None and time.monotonic() >= deadline:
+                raise mf.LakeLockedError(
+                    "upsert published its segments but could not take the "
+                    f"lake lock within {lock_wait_s}s; the rows are staged "
+                    "exactly-once — the next replay/upsert of this lake "
+                    "commits them (do NOT re-call upsert_dataset with the "
+                    "same rows: that would stage a duplicate copy)"
+                ) from None
+            time.sleep(0.05)
 
 
 def gc_ingested(lake_dir: str | Path) -> int:
     """Unlink committed segments from the ``_ingest`` stream dir (the
     wave pattern: the stream never co-resides with the lake), plus any
-    crashed upserts' abandoned ``.staging-*`` scratch dirs. Call when
-    no upsert is in flight (an active upsert's staging dir is
-    indistinguishable from an abandoned one). Returns the number
-    removed; published-but-uncommitted segments stay."""
+    crashed upserts' abandoned ``.staging-*`` scratch dirs. Takes the
+    per-stream upsert flock NON-blocking: an active upsert's staging
+    dir is indistinguishable from an abandoned one, so on live
+    contention the sweep is skipped (returns 0) rather than destroying
+    in-flight staged rows. Published-but-uncommitted segments always
+    stay."""
+    import fcntl
+    import os
     import shutil
 
     lake_dir = Path(lake_dir)
     stream = lake_dir / _INGEST
     if not stream.exists():
         return 0
-    committed = {
-        n for rec in commit_log(lake_dir) for n in rec.get("segments") or ()
-    }
-    removed = 0
-    for p in stream.glob("seg-*.parquet"):
-        if p.name in committed:
-            p.unlink()
+    fd = os.open(stream / ".upsert.lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            return 0  # live upsert: its own completion handles scratch
+        committed = {
+            n for rec in commit_log(lake_dir) for n in rec.get("segments") or ()
+        }
+        removed = 0
+        for p in stream.glob("seg-*.parquet"):
+            if p.name in committed:
+                p.unlink()
+                removed += 1
+        for d in stream.glob(".staging-*"):
+            shutil.rmtree(d, ignore_errors=True)
             removed += 1
-    for d in stream.glob(".staging-*"):
-        shutil.rmtree(d, ignore_errors=True)
-        removed += 1
-    return removed
+        return removed
+    finally:
+        os.close(fd)

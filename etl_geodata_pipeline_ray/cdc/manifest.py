@@ -43,10 +43,13 @@ def reshard_marker(lake_dir: str | Path) -> dict | None:
     exists, the staged manifest set under ``_reshard-{commit}/`` IS
     the committed state; the next writer finalizes the swap."""
     p = Path(lake_dir) / MANIFEST_DIR / RESHARD_MARKER
-    if not p.exists():
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        # absent — or unlinked by a concurrent finalize between a
+        # caller's exists() probe and here; either way: no pending swap
         return None
-    with open(p) as f:
-        return json.load(f)
 
 
 def reshard_staging_dir(lake_dir: str | Path, commit_id: str) -> Path:
@@ -113,15 +116,18 @@ def read_manifest(lake_dir: str | Path, shard: int) -> dict | None:
         if shard >= marker["to"]:
             return None  # shard doesn't exist under the committed layout
         sp = reshard_staging_dir(lake_dir, marker["commit"]) / f"shard-{shard:05d}.json"
-        if sp.exists():
+        try:
             with open(sp) as f:
                 return json.load(f)
-        # staged file already moved into place by a partial finalize
+        except FileNotFoundError:
+            pass  # already moved into place by a (possibly racing)
+            # finalize — the main-dir copy below is the same content
     p = manifest_path(lake_dir, shard)
-    if not p.exists():
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
         return None
-    with open(p) as f:
-        return json.load(f)
 
 
 def read_all_manifests(lake_dir: str | Path) -> dict[int, dict]:
@@ -136,23 +142,37 @@ def read_all_manifests(lake_dir: str | Path) -> dict[int, dict]:
     out: dict[int, dict] = {}
     if not mdir.exists():
         return out
+    # every open tolerates FileNotFoundError: a CONCURRENT finalize
+    # moves staged files / unlinks dead manifests between our glob and
+    # open, and each move is an atomic rename — the main-dir glob runs
+    # after the staged loop, so a file that vanished from staging is
+    # picked up at its destination (lock-free readers stay exact)
     marker = reshard_marker(lake_dir)
     if marker is not None:
         sdir = reshard_staging_dir(lake_dir, marker["commit"])
         if sdir.exists():
             for p in sorted(sdir.glob("shard-*.json")):
-                with open(p) as f:
-                    m = json.load(f)
+                try:
+                    with open(p) as f:
+                        m = json.load(f)
+                except FileNotFoundError:
+                    continue
                 out[m["shard"]] = m
         for p in sorted(mdir.glob("shard-*.json")):
-            with open(p) as f:
-                m = json.load(f)
+            try:
+                with open(p) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue
             if m["shard"] < marker["to"] and m["shard"] not in out:
                 out[m["shard"]] = m
         return out
     for p in sorted(mdir.glob("shard-*.json")):
-        with open(p) as f:
-            m = json.load(f)
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            continue
         out[m["shard"]] = m
     return out
 
@@ -209,13 +229,19 @@ class LakeLock:
                 f"lake is locked by live pid {held.get('pid')} "
                 f"({age:.0f}s ago); concurrent replay/compact refused"
             ) from None
-        os.ftruncate(fd, 0)
-        os.write(
-            fd,
-            json.dumps(
-                {"pid": os.getpid(), "ts": time.time(), "token": self.token}
-            ).encode(),
-        )
+        try:
+            os.ftruncate(fd, 0)
+            os.write(
+                fd,
+                json.dumps(
+                    {"pid": os.getpid(), "ts": time.time(), "token": self.token}
+                ).encode(),
+            )
+        except OSError:
+            # e.g. ENOSPC: close (releasing the flock) before raising,
+            # or this process would hold the lake lock forever
+            os.close(fd)
+            raise
         self._fd = fd
         return self
 

@@ -1591,25 +1591,13 @@ def vacuum(lake_dir: str | Path, lock_cls=None) -> dict:
             except OSError:
                 pass
         ingest_swept = 0
-        ingest = lake_dir / "_ingest"
-        if ingest.exists():
-            # upserts serialize on the STREAM flock, not the lake lock:
-            # hold it so an in-flight upsert's staging dir (identical
-            # in shape to an abandoned one) can never be swept; on live
-            # contention skip the stream sweep rather than block.
-            import fcntl
-
+        if (lake_dir / "_ingest").exists():
+            # gc_ingested itself takes the per-stream upsert flock
+            # non-blocking and skips on live contention, so an
+            # in-flight upsert's staging dir can never be swept
             from .ingest import gc_ingested
 
-            fd = os.open(ingest / ".upsert.lock", os.O_CREAT | os.O_RDWR, 0o644)
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
-                pass  # live upsert: its own completion handles scratch
-            else:
-                ingest_swept = gc_ingested(lake_dir)
-            finally:
-                os.close(fd)
+            ingest_swept = gc_ingested(lake_dir)
         return {
             "gc_files": removed,
             "tmp_files": tmp_swept,

@@ -16,6 +16,7 @@ from __future__ import annotations
 import time
 from pathlib import Path
 
+from .manifest import LakeLockedError
 from .replay import replay
 
 
@@ -36,12 +37,27 @@ def tail(
     temp name, then rename into ``seg-*.parquet``). A poll that races
     a direct in-place write would read a footerless parquet file and
     abort the replay.
+
+    Defaults to ``mode="append"`` (per-commit cost ∝ the new delta —
+    the only sane posture for a continuous tail; pass ``mode=`` to
+    override). Transient writer-lock contention (a concurrent
+    vacuum/compact/upsert holding the lake lock) is treated as an
+    empty poll — sleep and retry, never kill the loop — so bounded
+    runs (``idle_polls``) still terminate under a stuck writer.
     """
+    replay_kw.setdefault("mode", "append")
     commits: list[dict] = []
     idle = 0
     while True:
         _t0 = time.perf_counter()
-        stats = replay(wal_dir, lake_dir, **replay_kw)
+        try:
+            stats = replay(wal_dir, lake_dir, **replay_kw)
+        except LakeLockedError:
+            idle += 1
+            if idle_polls is not None and idle >= idle_polls:
+                return commits
+            time.sleep(poll_interval_s)
+            continue
         # end-to-end commit latency of this poll's batch (bench.py
         # --tail reports its p50/p95 under a live trickling WAL)
         stats["wall_sec"] = round(time.perf_counter() - _t0, 3)
