@@ -46,7 +46,6 @@ def validate_lake(lake_dir: str | Path) -> dict:
 
     lake_dir = Path(lake_dir)
     manifests = mf.read_all_manifests(lake_dir)
-    num_shards = mf.lake_meta(lake_dir)["num_shards"]
 
     items = []
     for sh, m in manifests.items():
@@ -64,6 +63,7 @@ def validate_lake(lake_dir: str | Path) -> dict:
             )
     if not items:
         return {"ok": True, "files_checked": 0, "violations": []}
+    num_shards = mf.lake_meta(lake_dir)["num_shards"]
 
     def check(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -71,14 +71,33 @@ def validate_lake(lake_dir: str | Path) -> dict:
         # not per data row; the per-file checks inside are vectorized
         for _, it in batch.iterrows():
             v = []
-            t = pq.read_table(it["path"])
+            zones = json.loads(it["zones_json"])
+            try:
+                # prune to the audited columns: the wide text payload
+                # (the dominant share of lake bytes) is never inspected
+                # and must not ride through every validation task
+                schema_names = pq.read_schema(it["path"]).names
+                need = ({"op", "conv_id", "turn_idx"} | set(zones)) & set(
+                    schema_names
+                )
+                t = pq.read_table(it["path"], columns=sorted(need))
+                fsize = Path(it["path"]).stat().st_size
+            except FileNotFoundError:
+                # the corruption the validator exists to detect must be
+                # REPORTED, not crash the audit ("raises nothing")
+                out.append({"path": it["path"],
+                            "violations": "I5 committed file missing"})
+                continue
             if t.num_rows != it["expect_rows"]:
                 v.append(f"I5 rows {t.num_rows} != manifest {it['expect_rows']}")
-            if Path(it["path"]).stat().st_size != it["expect_bytes"]:
+            if fsize != it["expect_bytes"]:
                 v.append("I5 bytes != manifest")
             ops = set(pc.unique(t["op"]).to_pylist())
             if not ops <= set(_VALID_OPS):
-                v.append(f"I1 unknown ops {sorted(ops - set(_VALID_OPS))}")
+                # key=repr: a corrupt file can hold null AND a bad
+                # string; None < str comparison would crash the report
+                bad_ops = sorted(ops - set(_VALID_OPS), key=repr)
+                v.append(f"I1 unknown ops {bad_ops}")
             df = t.select(["conv_id", "turn_idx"]).to_pandas()
             srt = df.sort_values(["conv_id", "turn_idx"], kind="stable")
             if not (srt.index.to_numpy() == np.arange(len(df))).all():
@@ -93,7 +112,7 @@ def validate_lake(lake_dir: str | Path) -> dict:
             sh_all = shard_of(hash_u64(t["conv_id"].combine_chunks()), num_shards)
             if not (sh_all == int(it["shard"])).all():
                 v.append("I4 misrouted rows present")
-            for col, z in json.loads(it["zones_json"]).items():
+            for col, z in zones.items():
                 if col not in t.column_names:
                     continue
                 if "values" not in z:

@@ -19,6 +19,44 @@ import ray.data
 _HASH_KEY = "graftbucket-hash"
 
 
+def key_hash(t, key_cols: list[str], hash_key: str = _HASH_KEY) -> np.ndarray:
+    """Dtype-stable composite key hash (uint64 per row) — THE bucket
+    hash kernel, shared by ``add_bucket`` and ``shuffle_join``. Hashes
+    from the ARROW column type, never the raw pandas values: an int64
+    column whose null-bearing blocks drift to float64 would otherwise
+    hash ``5`` and ``5.0`` differently and split one key across
+    buckets. Integers hash via a null sentinel (numeric fast path,
+    ~40x cheaper than the object hash), floats normalize ``-0.0 →
+    +0.0`` (equal keys, one bucket), everything else goes through the
+    canonical string cast with a null sentinel. A null key's bucket is
+    arbitrary-but-consistent — per-bucket kernels still compare exact
+    keys, so a sentinel collision cannot create a false match."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for k in key_cols:
+        colv = t[k]
+        if pa.types.is_integer(colv.type):
+            v = (
+                pc.cast(colv, pa.int64())
+                .fill_null(-(2**63) + 11)
+                .to_numpy(zero_copy_only=False)
+            )
+            hk = pd.util.hash_array(v.astype(np.int64, copy=False),
+                                    hash_key=hash_key)
+        elif pa.types.is_floating(colv.type):
+            v = pc.cast(colv, pa.float64()).to_numpy(zero_copy_only=False)
+            hk = pd.util.hash_array(v + 0.0, hash_key=hash_key)
+        else:
+            s = pc.cast(colv, pa.string()).fill_null("\x00null").to_numpy(
+                zero_copy_only=False
+            )
+            hk = pd.util.hash_array(s.astype(object), hash_key=hash_key)
+        h ^= hk * np.uint64(0x9E3779B97F4A7C15)
+    return h
+
+
 def add_bucket(
     ds: ray.data.Dataset, keys: list[str], n_buckets: int, col: str = "_bucket"
 ) -> ray.data.Dataset:
@@ -30,29 +68,9 @@ def add_bucket(
     across buckets — every bucketed kernel then emits two partial
     rows per key, silently wrong."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for k in keys:
-            colv = batch[k].combine_chunks()
-            if pa.types.is_integer(colv.type):
-                v = (
-                    pc.cast(colv, pa.int64())
-                    .fill_null(-(2**63) + 11)
-                    .to_numpy(zero_copy_only=False)
-                )
-                hk = pd.util.hash_array(v.astype(np.int64, copy=False),
-                                        hash_key=_HASH_KEY)
-            elif pa.types.is_floating(colv.type):
-                v = pc.cast(colv, pa.float64()).to_numpy(zero_copy_only=False)
-                hk = pd.util.hash_array(v + 0.0, hash_key=_HASH_KEY)
-            else:
-                s = pc.cast(colv, pa.string()).fill_null("\x00null").to_numpy(
-                    zero_copy_only=False
-                )
-                hk = pd.util.hash_array(s.astype(object), hash_key=_HASH_KEY)
-            h ^= hk * np.uint64(0x9E3779B97F4A7C15)
+        h = key_hash(batch, keys)
         return batch.append_column(
             col, pa.array((h % np.uint64(n_buckets)).astype(np.int64))
         )

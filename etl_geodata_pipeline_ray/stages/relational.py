@@ -273,34 +273,13 @@ def shuffle_join(
         return t.filter(mask) if mask is not None else t
 
     def _bucket_col(t: pa.Table, key_cols: list[str]) -> pa.Array:
-        # hash ARROW-side over a canonical cast (both sides were cast
-        # to the LEFT key types before this): a pandas-side hash would
-        # see int64 on one side and float64 (null-bearing) on the other
-        # and route equal keys to different buckets. Integer/float keys
-        # take a vectorized numeric hash (~40x cheaper than the object
-        # hash); everything else goes through the canonical string
-        # cast. A null key's bucket is arbitrary-but-consistent — the
-        # per-bucket merge still compares exact keys, so a sentinel
-        # collision cannot create a false match.
-        h = np.zeros(t.num_rows, dtype=np.uint64)
-        for k in key_cols:
-            col = t[k]
-            if pa.types.is_integer(col.type):
-                v = (
-                    pc.cast(col, pa.int64())
-                    .fill_null(-(2**63) + 11)
-                    .to_numpy(zero_copy_only=False)
-                )
-                hk = pd.util.hash_array(v.astype(np.int64, copy=False))
-            elif pa.types.is_floating(col.type):
-                v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
-                hk = pd.util.hash_array(v + 0.0)  # -0.0 -> +0.0 (equal keys, one bucket)
-            else:
-                s = pc.cast(col, pa.string()).fill_null("\x00null").to_numpy(
-                    zero_copy_only=False
-                )
-                hk = pd.util.hash_array(s.astype(object), hash_key="graftjoin-hash00")
-            h ^= hk * np.uint64(0x9E3779B97F4A7C15)
+        # the shared dtype-stable kernel (see bucketed.key_hash): both
+        # sides were cast to the LEFT key types before this, so equal
+        # keys hash identically even when one side's null-bearing
+        # blocks drifted to float64
+        from .bucketed import key_hash
+
+        h = key_hash(t, key_cols, hash_key="graftjoin-hash00")
         return pa.array((h % np.uint64(n_buckets)).astype(np.int64))
 
     # one shared exchange schema INSTANCE for both widened sides —

@@ -49,6 +49,11 @@ def session_windows(
         # vectorized across every key in the bucket: one sort, one
         # diff, session break where the key changes OR the gap exceeds
         # the threshold, then a C-level two-key groupby.
+        # A null ts belongs to NO session (NaT diffs would otherwise
+        # emit a garbage (key, NaT, NaT, 1) row per null event); null
+        # keys are dropped too — explicitly, not via groupby's silent
+        # dropna default.
+        g = g[g[ts_col].notna() & g[key].notna()]
         g = g.sort_values([key, ts_col], kind="stable")
         ts = g[ts_col]
         gap = ts.diff().dt.total_seconds().fillna(np.inf)
@@ -79,7 +84,11 @@ def hopping_window(
     (streaming-window custom operator per the task brief; the
     reference has no windowing, SURVEY §2.9). Fan-out per event =
     ceil(size/hop)."""
-    assert size_s % hop_s == 0, "size must be a multiple of hop"
+    if size_s % hop_s != 0:
+        # a ValueError, not an assert: under python -O an assert is
+        # stripped and floor(size/hop) windows silently undercount
+        # events near window boundaries
+        raise ValueError(f"size_s={size_s} must be a multiple of hop_s={hop_s}")
     n_win = size_s // hop_s
     size_us = np.int64(size_s) * 1_000_000
     hop_us = np.int64(hop_s) * 1_000_000

@@ -23,8 +23,6 @@ Python string objects are created for the key comparison).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -3,6 +3,7 @@ GC, deterministic same-ts upsert ties, spec substitution, negative
 turn_idx key packing."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
@@ -729,3 +730,64 @@ def test_diff_states_negative_turn_idx_no_cross_conv_collision():
     # pre-fix the collision made ("c1", -1) look "found" in `a` and it
     # came out as "update"; distinct keys classify it as a fresh insert
     assert by_key == {("c1", -1): "insert"}
+
+
+def test_validate_lake_reports_missing_file_and_empty_dir(ray_session, tmp_path):
+    """validate_lake keeps its 'raises nothing' contract: an empty /
+    uninitialized dir validates ok, and a committed file that vanished
+    (disk fault / GC bug) is REPORTED as an I5 violation instead of
+    crashing the audit task."""
+    from etl_geodata_pipeline_ray.cdc.validate import validate_lake
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    v = validate_lake(empty)
+    assert v["ok"] and v["files_checked"] == 0
+
+    from etl_geodata_pipeline_ray.cdc.ingest import upsert_dataset
+
+    lake = tmp_path / "lake"
+    t = pa.table(
+        {
+            "conv_id": ["a", "b"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+            "text": pa.array(["x", "y"], pa.large_string()),
+        }
+    )
+    upsert_dataset(ray.data.from_arrow(t), lake, num_shards=4)
+    assert validate_lake(lake)["ok"]
+    victim = next(Path(lake).glob("shard=*/*.parquet"))
+    victim.unlink()
+    v = validate_lake(lake)
+    assert not v["ok"]
+    assert any("I5 committed file missing" in x for x in v["violations"])
+
+
+def test_session_windows_null_ts_and_key_dropped(ray_session):
+    """Null-ts events must not become garbage (key, NaT, NaT, 1)
+    singleton sessions, and null-key rows drop explicitly."""
+    import pandas as pd
+
+    from etl_geodata_pipeline_ray.stages.windows import session_windows
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, None, 2],
+            "ts": pd.to_datetime([1_000, 2_000, 3_000, None], unit="s"),
+        }
+    )
+    out = session_windows(
+        ray.data.from_pandas(df), "user_id", "ts", gap_seconds=10_000
+    ).to_pandas()
+    assert len(out) == 1  # user 1's two events, one session
+    assert out["n_events"].tolist() == [2]
+    assert not out["session_start"].isna().any()
+
+
+def test_hopping_window_rejects_non_multiple_hop(ray_session):
+    from etl_geodata_pipeline_ray.stages.windows import hopping_window
+
+    ds = ray.data.from_items([{"ts": 1}])
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window(ds, "ts", size_s=90, hop_s=60)
