@@ -71,7 +71,11 @@ def add_bucket(
 
     def bucketize(batch: pa.Table) -> pa.Table:
         h = key_hash(batch, keys)
-        return batch.append_column(
+        # Strip schema metadata (parquet readers attach b'pandas' blobs):
+        # pa.Schema.__hash__ raises on metadata, so metadata-bearing
+        # blocks defeat Ray's schema-dedup fast path in the groupby
+        # reduce and spam "Failed to hash the schemas" warnings.
+        return batch.replace_schema_metadata(None).append_column(
             col, pa.array((h % np.uint64(n_buckets)).astype(np.int64))
         )
 
