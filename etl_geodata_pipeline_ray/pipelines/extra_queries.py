@@ -190,7 +190,11 @@ def q38_paged_source(sf_dir: str) -> pd.DataFrame:
 
     from ..sources.paged import read_paged
 
-    events = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    # drop the parquet pandas-metadata blob: metadata-bearing schemas
+    # are unhashable and defeat Ray's reduce-side schema dedup
+    events = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    ).replace_schema_metadata(None)
     page_size = 500
     n_pages = (events.num_rows + page_size - 1) // page_size
 

@@ -25,7 +25,7 @@ def grouped_value_counts(
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([group, value]).to_pandas()
         out = df.groupby([group, value], dropna=False).size().reset_index(name=count_name)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     summed = ds.map_batches(partial, batch_format="pyarrow").groupby(
         [group, value]
@@ -59,7 +59,7 @@ def shannon_entropy(
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([group, value]).to_pandas()
         out = df.groupby([group, value], dropna=False).size().reset_index(name="cnt")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     def ent(g: pd.DataFrame) -> pd.DataFrame:
         # merge partial counts AND compute entropy in one bucket kernel
@@ -92,7 +92,7 @@ def distinct_count(
             .dropna(subset=[value])
             .drop_duplicates()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def cnt(g: pd.DataFrame) -> pd.DataFrame:
         out = g.drop_duplicates().groupby(group, as_index=False).size()
@@ -117,7 +117,7 @@ def weighted_mean(
         df = batch.select([group, value, weight]).to_pandas()
         df["_wx"] = df[value] * df[weight]
         out = df.groupby(group).agg(_wx=("_wx", "sum"), _w=(weight, "sum")).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     summed = partials.groupby(group).sum(["_wx", "_w"])
